@@ -1,0 +1,202 @@
+"""Pure-numpy image kernels — the engine's "physical operators" (SURVEY.md §2.9).
+
+Each function re-expresses one cv2 stage from the reference's preprocessing
+chain with numpy only:
+
+- grayscale            <- cv2.cvtColor           (/root/reference/src/model/ocr_model.py:71-74)
+- gaussian_blur 5x5    <- cv2.GaussianBlur       (/root/reference/src/services/table_ocr_service.py:53)
+- otsu_binarize        <- cv2.adaptiveThreshold  (/root/reference/src/model/ocr_model.py:77-79;
+                          the north star names the Otsu/binarization stage)
+- median3              <- cv2.medianBlur ksize=3 (/root/reference/src/model/ocr_model.py:82)
+- erode/dilate/open/close <- cv2.morphologyEx    (/root/reference/src/services/table_ocr_service.py:61-63)
+- estimate/deskew      <- contour minAreaRect + warpAffine
+                          (/root/reference/src/services/table_ocr_service.py:73-110),
+                          re-modeled as integer-shear estimation (exactly invertible)
+
+All operate on uint8 grayscale (0..255) or binary ink masks (uint8 {0,1},
+1 = ink). Vectorized numpy throughout — these run inside Arrow batches on
+executors, so per-pixel Python loops are forbidden.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Candidate shear slopes (thousandths) for deskew estimation. Superset of
+# render.SKEW_SLOPES_MILLI; step 5 keeps the search cheap (49 candidates).
+DESKEW_SEARCH_SLOPES = tuple(range(-120, 125, 5))
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """HxWx3 BGR (or HxW) uint8 -> HxW uint8 grayscale (BT.601 weights)."""
+    if img.ndim == 2:
+        return img
+    b, g, r = img[..., 0].astype(np.float32), img[..., 1].astype(np.float32), img[..., 2].astype(np.float32)
+    return np.clip(0.114 * b + 0.587 * g + 0.299 * r, 0, 255).astype(np.uint8)
+
+
+def _gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
+    half = ksize // 2
+    x = np.arange(-half, half + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def _conv1d_axis(img: np.ndarray, kernel: np.ndarray, axis: int) -> np.ndarray:
+    half = len(kernel) // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (half, half)
+    padded = np.pad(img, pad, mode="edge").astype(np.float64)
+    out = np.zeros(img.shape, dtype=np.float64)
+    for i, kv in enumerate(kernel):
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(i, i + img.shape[axis])
+        out += kv * padded[tuple(sl)]
+    return out
+
+
+def gaussian_blur(img: np.ndarray, ksize: int = 5, sigma: float = 1.0) -> np.ndarray:
+    """Separable 2-D Gaussian, edge-padded (cv2 BORDER_REPLICATE analog)."""
+    k = _gaussian_kernel1d(ksize, sigma)
+    out = _conv1d_axis(img.astype(np.float64), k, 0)
+    out = _conv1d_axis(out, k, 1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def otsu_threshold(img: np.ndarray) -> int:
+    """Otsu's between-class-variance-maximizing threshold (histogram method)."""
+    hist = np.bincount(img.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 127
+    omega = np.cumsum(hist) / total  # class-0 probability
+    mu = np.cumsum(hist * np.arange(256)) / total  # cumulative mean
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_b = np.where(denom > 0, (mu_t * omega - mu) ** 2 / denom, 0.0)
+    return int(np.argmax(sigma_b))
+
+
+# Minimum gray-level separation between Otsu's two classes for the image to
+# count as having ink at all. Otsu fails open on noise-only images (no
+# bimodal structure); this gate is the kernel-level analog of the
+# reference's confidence filtering of junk detections
+# (/root/reference/src/model/ocr_model.py:113-115).
+MIN_CLASS_SEPARATION = 70
+
+
+def otsu_binarize(img: np.ndarray) -> np.ndarray:
+    """Grayscale -> ink mask (1 = darker-than-threshold = ink).
+
+    Returns an all-zero mask when the dark/light class means are closer
+    than MIN_CLASS_SEPARATION (blank or noise-only image)."""
+    t = otsu_threshold(img)
+    dark = img[img <= t]
+    light = img[img > t]
+    if dark.size == 0 or light.size == 0:
+        return np.zeros_like(img, dtype=np.uint8)
+    if float(light.mean()) - float(dark.mean()) < MIN_CLASS_SEPARATION:
+        return np.zeros_like(img, dtype=np.uint8)
+    return (img <= t).astype(np.uint8)
+
+
+def median3(mask: np.ndarray) -> np.ndarray:
+    """3x3 median on a binary mask == majority vote of the 9-neighborhood.
+
+    Kills isolated salt noise exactly like the reference's medianBlur stage.
+    """
+    padded = np.pad(mask, 1, mode="constant", constant_values=0)
+    acc = np.zeros(mask.shape, dtype=np.int16)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            acc += padded[dy : dy + mask.shape[0], dx : dx + mask.shape[1]]
+    return (acc >= 5).astype(np.uint8)
+
+
+def _shift2d(mask: np.ndarray, dy: int, dx: int) -> np.ndarray:
+    out = np.zeros_like(mask)
+    h, w = mask.shape
+    ys = slice(max(dy, 0), min(h + dy, h))
+    xs = slice(max(dx, 0), min(w + dx, w))
+    yd = slice(max(-dy, 0), min(h - dy, h))
+    xd = slice(max(-dx, 0), min(w - dx, w))
+    out[ys, xs] = mask[yd, xd]
+    return out
+
+
+def dilate(mask: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    """Binary dilation with a kh x kw rect structuring element."""
+    out = np.zeros_like(mask)
+    for dy in range(-(kh // 2), kh - kh // 2):
+        for dx in range(-(kw // 2), kw - kw // 2):
+            np.maximum(out, _shift2d(mask, dy, dx), out=out)
+    return out
+
+
+def erode(mask: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    """Binary erosion with a kh x kw rect structuring element."""
+    out = np.ones_like(mask)
+    for dy in range(-(kh // 2), kh - kh // 2):
+        for dx in range(-(kw // 2), kw - kw // 2):
+            shifted = _shift2d(mask, dy, dx)
+            np.minimum(out, shifted, out=out)
+    return out
+
+
+def morph_open(mask: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    return dilate(erode(mask, kh, kw), kh, kw)
+
+
+def morph_close(mask: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    return erode(dilate(mask, kh, kw), kh, kw)
+
+
+def estimate_shear_slope_milli(mask: np.ndarray) -> int:
+    """Estimate the horizontal shear applied to an ink mask.
+
+    For each candidate slope, un-shear ink pixel x-coords and score the
+    sharpness of the column projection (sum of squared column counts) —
+    maximal when vertical strokes re-align. Analog of the reference's
+    minAreaRect angle estimate (/root/reference/src/services/table_ocr_service.py:90-103);
+    a |slope| below ~0.5 px/k-rows is treated as straight, like the
+    reference's 0.5-degree dead-band.
+    """
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return 0
+    best_slope, best_score = 0, -1.0
+    for sm in DESKEW_SEARCH_SLOPES:
+        xp = xs - np.round(ys * (sm / 1000.0)).astype(np.int64)
+        xp -= xp.min()
+        counts = np.bincount(xp)
+        score = float((counts.astype(np.float64) ** 2).sum())
+        if score > best_score:
+            best_score, best_slope = score, sm
+    return best_slope
+
+
+def unshear(mask: np.ndarray, slope_milli: int) -> np.ndarray:
+    """Invert an integer horizontal shear on an ink mask (exact)."""
+    if slope_milli == 0:
+        return mask
+    h, w = mask.shape
+    shifts = np.round(np.arange(h) * (slope_milli / 1000.0)).astype(np.int64)
+    lo = int(min(shifts.min(), 0))
+    out = np.zeros_like(mask)
+    for y in range(h):
+        s = -lo + int(shifts[y])
+        row = mask[y]
+        if s == 0:
+            out[y] = row
+        elif s > 0:
+            out[y, : w - s] = row[s:]
+    return out
+
+
+def deskew(mask: np.ndarray) -> np.ndarray:
+    """Estimate + invert shear; dead-band below 2/1000 like the reference's 0.5 deg."""
+    sm = estimate_shear_slope_milli(mask)
+    if abs(sm) < 3:
+        return mask
+    return unshear(mask, sm)

@@ -1,0 +1,96 @@
+"""The complete per-image / per-document kernel, assembled.
+
+This is the single-machine (no Spark) path used to FREEZE golden fixtures;
+the Spark pipeline (extraction/pipeline.py) must reproduce its output with
+span-sequence equality (kind, text, media_ref, order) per document —
+the north-rule invariant (BASELINE.json:15).
+
+Chain mirrors the reference's preprocessing order
+(/root/reference/src/model/ocr_model.py:55-84 and
+/root/reference/src/services/enhanced_table_ocr_service.py:38-77):
+grayscale -> Gaussian blur 5x5 -> binarize (Otsu) -> median denoise ->
+deskew -> (ruled grid? table path : free-text path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ocr_text_recognition_spark.extraction.html import extract_main_text
+from ocr_text_recognition_spark.kernel import imageops, recognize, tableparse
+from ocr_text_recognition_spark.kernel.imgcodec import decode_image
+
+# Serialization of a recognized table into one span text: cells joined by
+# ' | ' (not in the glyph atlas, so unambiguous), rows by newline.
+CELL_SEP = " | "
+
+
+def preprocess_image(img: np.ndarray) -> np.ndarray:
+    """Raw image -> cleaned, deskewed binary ink mask (uint8 {0,1})."""
+    gray = imageops.to_grayscale(img)
+    blur = imageops.gaussian_blur(gray, ksize=5, sigma=1.0)
+    mask = imageops.otsu_binarize(blur)
+    mask = imageops.median3(mask)
+    return imageops.deskew(mask)
+
+
+def recognize_media_bytes(data: bytes | None) -> str:
+    """Media payload -> extracted text.
+
+    Table images serialize as rows of CELL_SEP-joined cells; free-text
+    images as newline-joined lines; undecodable/blank payloads -> ''
+    (the reference's empty-result fallback, table_ocr_service.py:216-219).
+    """
+    if not data:
+        return ""
+    try:
+        img = decode_image(bytes(data))
+    except Exception:
+        return ""
+    mask = preprocess_image(img)
+    table = tableparse.extract_table(mask)
+    if table is not None:
+        return "\n".join(CELL_SEP.join(row) for row in table)
+    return recognize.recognize_text(mask)
+
+
+def extract_table_bytes(data: bytes | None) -> list[list[str]] | None:
+    """Media payload -> table rows, or None when no ruled grid detected."""
+    if not data:
+        return None
+    try:
+        img = decode_image(bytes(data))
+    except Exception:
+        return None
+    return tableparse.extract_table(preprocess_image(img))
+
+
+@dataclass(frozen=True)
+class Span:
+    kind: str
+    text: str
+    media_ref: str
+    offset: int
+
+
+def process_document(
+    spans: list[tuple[str, str, str, int]],
+    media_lookup: dict[str, bytes],
+) -> list[Span]:
+    """One document's spans -> extracted spans, original order preserved.
+
+    ``spans`` items are (kind, text, media_ref, offset). Text spans run the
+    main-content extractor; media spans run the recognition kernel on the
+    payload found via media_ref ('' when the ref is missing).
+    """
+    out = []
+    for kind, text, media_ref, offset in spans:
+        if kind == "media":
+            extracted = recognize_media_bytes(media_lookup.get(media_ref))
+        else:
+            extracted = extract_main_text(text)
+        out.append(Span(kind=kind, text=extracted, media_ref=media_ref, offset=offset))
+    out.sort(key=lambda s: s.offset)
+    return out

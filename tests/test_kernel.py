@@ -1,0 +1,191 @@
+"""Unit tests for the pure-numpy recognition kernel.
+
+Mirrors the reference's test strategy (SURVEY.md §5.1): synthetic image
+generation + per-component contracts, plus exact round-trip assertions the
+reference couldn't make (its OCR engines are nondeterministic; ours is not).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_text_recognition_spark.extraction.html import extract_main_text
+from ocr_text_recognition_spark.kernel import (
+    font,
+    imageops,
+    recognize,
+    reference_kernel,
+    render,
+    segment,
+    tableparse,
+)
+from ocr_text_recognition_spark.kernel.imgcodec import decode_image, encode_image
+
+
+def full_chain(img: np.ndarray) -> np.ndarray:
+    return reference_kernel.preprocess_image(img)
+
+
+class TestFont:
+    def test_glyph_bitmaps_unique(self):
+        atlas = font.glyph_atlas()
+        seen = {g.tobytes() for g in atlas}
+        assert len(seen) == len(font.GLYPHS)
+
+    def test_renderable_normalizes(self):
+        assert font.renderable("héllo  wörld") == "H LLO W RLD"
+        assert font.renderable("a,b.c") == "A,B.C"
+
+
+class TestCodec:
+    def test_roundtrip(self):
+        img = render.render_text_image(["ABC 123"])
+        assert np.array_equal(decode_image(encode_image(img)), img)
+
+    def test_corrupt_raises(self):
+        with pytest.raises(ValueError):
+            decode_image(b"not an image at all")
+
+
+class TestImageOps:
+    def test_otsu_separates_bimodal(self):
+        img = np.full((20, 20), 255, np.uint8)
+        img[5:10, 5:10] = 10
+        t = imageops.otsu_threshold(img)
+        assert 10 <= t < 255  # dark class (<= t) must include the ink value
+        assert imageops.otsu_binarize(img)[7, 7] == 1
+        assert imageops.otsu_binarize(img)[0, 0] == 0
+
+    def test_median3_kills_salt_noise(self):
+        img = np.zeros((20, 20), np.uint8)
+        img[10, 10] = 1  # isolated speck
+        assert imageops.median3(img).sum() == 0
+
+    def test_morphology_open_removes_close_keeps(self):
+        m = np.zeros((20, 20), np.uint8)
+        m[5:15, 5:15] = 1
+        m[10, 17] = 1  # speck
+        opened = imageops.morph_open(m, 3, 3)
+        assert opened[10, 17] == 0 and opened[10, 10] == 1
+        closed = imageops.morph_close(m, 3, 3)
+        assert closed[10, 10] == 1
+
+    @pytest.mark.parametrize("slope", render.SKEW_SLOPES_MILLI)
+    def test_shear_estimate_exact(self, slope):
+        img = render.render_text_image(["HELLO WORLD", "SECOND LINE HERE"])
+        sheared = render.shear_image(img, slope)
+        mask = imageops.otsu_binarize(sheared)
+        assert imageops.estimate_shear_slope_milli(mask) == slope
+
+
+class TestSegment:
+    def test_connected_components_counts(self):
+        m = np.zeros((10, 10), np.uint8)
+        m[1:3, 1:3] = 1
+        m[6:9, 6:9] = 1
+        labels, n = segment.connected_components(m)
+        assert n == 2
+        assert labels[1, 1] != labels[7, 7]
+
+    def test_diagonal_is_8_connected(self):
+        m = np.zeros((4, 4), np.uint8)
+        m[0, 0] = m[1, 1] = 1
+        _, n = segment.connected_components(m)
+        assert n == 1
+
+    def test_merge_1d_sessionizes(self):
+        # the reference's scanline merge (<10px) fixture
+        assert segment.merge_1d(np.array([5, 7, 9, 40, 43, 90]), 10) == [7, 42, 90]
+
+
+class TestRecognize:
+    def test_freetext_roundtrip(self):
+        lines = ["Hello World 8.5", "Physics: 7,5 (85%)", "A-B/C (X) 100%"]
+        img = render.render_text_image(lines)
+        got = recognize.recognize_text(full_chain(img))
+        assert got == "\n".join(font.renderable(ln) for ln in lines)
+
+    @pytest.mark.parametrize("slope", render.SKEW_SLOPES_MILLI)
+    def test_sheared_roundtrip(self, slope):
+        lines = ["Deskew Test 42", "Second Line 7,5"]
+        img = render.shear_image(render.render_text_image(lines), slope)
+        got = recognize.recognize_text(full_chain(img))
+        assert got == "\n".join(font.renderable(ln) for ln in lines)
+
+    def test_noise_image_empty(self):
+        rng = np.random.default_rng(7)
+        img = render.render_noise_image(rng)
+        assert recognize.recognize_text(full_chain(img)) == ""
+
+    def test_confidence_contract(self):
+        # classify_glyph returns conf in [0,1]; exact hits get 1.0
+        img = render.render_text_image(["A"])
+        mask = full_chain(img)
+        bands = segment.segment_lines(mask)
+        (left, right, _), = segment.segment_glyph_boxes(mask[bands[0][0] : bands[0][1]])
+        ch, conf = recognize.classify_glyph(mask[bands[0][0] : bands[0][1], left:right])
+        assert ch == "A" and 0.5 <= conf <= 1.0
+
+
+class TestTableParse:
+    ROWS = [["Subject", "HK1", "HK2"], ["Math", "8.5", "9.0"], ["Physics", "7.5", "8,0"]]
+
+    def test_table_roundtrip(self):
+        img = render.render_table_image(self.ROWS)
+        table = tableparse.extract_table(full_chain(img))
+        assert table == [[font.renderable(c) for c in row] for row in self.ROWS]
+
+    @pytest.mark.parametrize("slope", [-60, 30])
+    def test_sheared_table_roundtrip(self, slope):
+        img = render.shear_image(render.render_table_image(self.ROWS), slope)
+        table = tableparse.extract_table(full_chain(img))
+        assert table == [[font.renderable(c) for c in row] for row in self.ROWS]
+
+    def test_no_grid_returns_none(self):
+        img = render.render_text_image(["just some words"])
+        assert tableparse.extract_table(full_chain(img)) is None
+
+
+class TestReferenceKernel:
+    def test_media_dispatch(self):
+        timg = encode_image(render.render_table_image(self.TAB))
+        out = reference_kernel.recognize_media_bytes(timg)
+        assert " | " in out and "MATH" in out
+        assert reference_kernel.recognize_media_bytes(b"corrupt") == ""
+        assert reference_kernel.recognize_media_bytes(None) == ""
+
+    TAB = [["Subject", "HK1"], ["Math", "8.5"]]
+
+    def test_process_document_preserves_order(self):
+        media = {"m1": encode_image(render.render_text_image(["inner text"]))}
+        spans = [
+            ("media", "", "m1", 1),
+            ("text", "<p>main content paragraph here</p>", "", 0),
+        ]
+        out = reference_kernel.process_document(spans, media)
+        assert [s.offset for s in out] == [0, 1]
+        assert out[0].kind == "text" and out[0].text == "main content paragraph here"
+        assert out[1].text == "INNER TEXT"
+
+
+class TestHtmlExtract:
+    def test_strips_boilerplate(self):
+        html = (
+            "<html><head><script>junk();</script></head><body>"
+            "<nav><a href='/'>home</a></nav>"
+            "<p>the real main content of this page</p>"
+            "<div><a href='/x'>click here buy now best deal</a></div>"
+            "<footer>copyright</footer></body></html>"
+        )
+        assert extract_main_text(html) == "the real main content of this page"
+
+    def test_plain_text_passthrough(self):
+        assert extract_main_text("  plain   text ") == "plain text"
+
+    def test_entities_unescaped(self):
+        assert extract_main_text("<p>fish &amp; chips cost &lt;5</p>") == "fish & chips cost <5"
+
+    def test_none_and_empty(self):
+        assert extract_main_text(None) == ""
+        assert extract_main_text("") == ""
