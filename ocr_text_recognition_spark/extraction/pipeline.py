@@ -1,0 +1,169 @@
+"""The distributed extraction pipeline (SURVEY.md §3.4).
+
+    read documents(doc_id, spans)                [scan; columns pruned]
+      -> posexplode_outer(spans)                 [narrow]
+      -> branch on kind:
+           text  -> extract_main_text_udf        [Arrow batches]
+           media -> distinct media_ref           [dedup: recognize each
+                    join media on media_ref       distinct image ONCE]
+                    recognize_media_udf
+                    join results back
+      -> unionByName
+      -> salted two-phase reassembly:            [explicit skew handling]
+           groupBy(doc_id, salt) partial collect
+           groupBy(doc_id) flatten + sort_array(offset)
+      -> documents(doc_id, spans) out
+
+Scale notes (the design target is 10^12 docs / 100 TB):
+- The media join shuffles on media_ref; at scale both sides are bucketed
+  on media_ref so the join is co-located. The distinct() before the join
+  collapses popular refs BEFORE the expensive kernel runs — the kernel
+  cost is O(distinct images), not O(media spans).
+- Reassembly is the one unavoidable shuffle on doc_id. A media-heavy doc
+  (the skew knob, BASELINE.json:6) would bottleneck a single reducer, so
+  phase 1 collects partial span lists per (doc_id, salt) and phase 2
+  merges n_salt small lists per doc — explicit salting, not AQE-dependent.
+- Span order NEVER relies on row order: sort_array on offset is the last
+  step before emitting (the core correctness invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_text_recognition_spark.extraction.udfs import (
+    extract_main_text_udf,
+    recognize_media_udf,
+)
+
+DEFAULT_N_SALT = 8
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """documents -> one row per span (doc_id, kind, text, media_ref, offset)."""
+    return docs.select(
+        "doc_id",
+        F.explode("spans").alias("span"),
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def recognize_distinct_media(spans_media: DataFrame, media: DataFrame) -> DataFrame:
+    """(media_ref) -> (media_ref, text): run the kernel once per distinct ref.
+
+    The distinct() is the map-side-combine analog for the expensive UDF —
+    popular images (shared headers, logos, re-hosted scans) are recognized
+    once regardless of how many spans reference them.
+    """
+    distinct_refs = spans_media.select("media_ref").distinct()
+    payloads = distinct_refs.join(media, "media_ref", "left")
+    return payloads.select(
+        "media_ref",
+        recognize_media_udf(F.col("content")).alias("text"),
+    )
+
+
+def reassemble_spans(extracted: DataFrame, n_salt: int = DEFAULT_N_SALT) -> DataFrame:
+    """(doc_id, kind, text, media_ref, offset) -> (doc_id, spans) with spans
+    sorted by offset. Two-phase salted aggregation so one media-heavy doc
+    cannot pin a single reducer."""
+    partial = (
+        extracted.withColumn("salt", F.pmod(F.hash("offset"), F.lit(n_salt)))
+        .groupBy("doc_id", "salt")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("offset"), F.col("kind"), F.col("text"), F.col("media_ref")
+                )
+            ).alias("part")
+        )
+    )
+    return (
+        partial.groupBy("doc_id")
+        .agg(F.flatten(F.collect_list("part")).alias("unordered"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_sort("unordered"),  # struct sort: offset is field 1
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    docs: DataFrame,
+    media: DataFrame,
+    n_salt: int = DEFAULT_N_SALT,
+) -> DataFrame:
+    """Full pipeline: documents + media -> extracted documents.
+
+    Returns a DataFrame with the same (doc_id, spans) shape as the input,
+    where every span's text has been replaced by its extraction result.
+    """
+    spans = explode_spans(docs)
+
+    spans_text = spans.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "kind",
+        extract_main_text_udf(F.col("text")).alias("text"),
+        "media_ref",
+        "offset",
+    )
+
+    spans_media = spans.filter(F.col("kind") == "media").select(
+        "doc_id", "kind", "media_ref", "offset"
+    )
+    media_text = recognize_distinct_media(spans_media, media)
+    spans_media_out = spans_media.join(media_text, "media_ref", "left").select(
+        "doc_id",
+        "kind",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "media_ref",
+        "offset",
+    )
+
+    extracted = spans_text.unionByName(spans_media_out)
+    return reassemble_spans(extracted, n_salt=n_salt)
+
+
+def run_extraction_demo(n_docs: int = 30, seed: int = 42) -> None:
+    """Self-contained smoke run: generate corpus, run pipeline, assert
+    span-sequence equality vs the plain-numpy golden path. Used by the
+    project verify skill."""
+    from ocr_text_recognition_spark import corpus
+    from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+    from ocr_text_recognition_spark.session import get_spark
+
+    spark = get_spark("extraction_demo")
+    docs_pd, media_pd = corpus.make_corpus(n_docs, seed=seed)
+    golden_pd = corpus.make_golden(docs_pd, media_pd)
+
+    docs = pandas_to_spark(spark, docs_pd, "documents")
+    media = pandas_to_spark(spark, media_pd, "media")
+    result = run_extraction(spark, docs, media).collect()
+
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in result
+    }
+    want = {
+        row["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
+        for _, row in golden_pd.iterrows()
+    }
+    assert set(got) == set(want), "doc_id set mismatch"
+    mismatches = [d for d in want if got[d] != want[d]]
+    assert not mismatches, f"span mismatch in {len(mismatches)} docs, e.g. {mismatches[:3]}"
+    print(f"OK: span-sequence equality on {len(want)} docs ({sum(len(v) for v in want.values())} spans)")

@@ -1,0 +1,77 @@
+"""Span-sequence equality — the north-rule invariant (BASELINE.json:15).
+
+The Spark pipeline must reproduce the plain-numpy golden path exactly:
+per document, (kind, text, media_ref, order) of every span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_text_recognition_spark.extraction.pipeline import (
+    explode_spans,
+    reassemble_spans,
+    run_extraction,
+)
+from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+
+
+def _as_tuples(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def test_span_sequence_equality(spark, small_corpus):
+    docs_pd, media_pd, golden_pd = small_corpus
+    docs = pandas_to_spark(spark, docs_pd, "documents")
+    media = pandas_to_spark(spark, media_pd, "media")
+
+    got = {r["doc_id"]: _as_tuples(r["spans"]) for r in run_extraction(spark, docs, media).collect()}
+    want = {r["doc_id"]: _as_tuples(r["spans"]) for _, r in golden_pd.iterrows()}
+
+    assert set(got) == set(want)
+    bad = [d for d in want if got[d] != want[d]]
+    assert not bad, f"{len(bad)} docs mismatch, first: {bad[:1]}"
+
+
+def test_reassembly_is_salt_invariant(spark, small_corpus):
+    """Same output regardless of salt fan-out — salting is a physical
+    choice, never a semantic one."""
+    docs_pd, media_pd, _ = small_corpus
+    docs = pandas_to_spark(spark, docs_pd.head(10), "documents")
+    ex = explode_spans(docs).withColumn("text", F.coalesce("text", F.lit("")))
+    one = {r["doc_id"]: _as_tuples(r["spans"]) for r in reassemble_spans(ex, n_salt=1).collect()}
+    many = {r["doc_id"]: _as_tuples(r["spans"]) for r in reassemble_spans(ex, n_salt=32).collect()}
+    assert one == many
+
+
+def test_offsets_strictly_ordered(spark, small_corpus):
+    docs_pd, media_pd, _ = small_corpus
+    docs = pandas_to_spark(spark, docs_pd, "documents")
+    media = pandas_to_spark(spark, media_pd, "media")
+    out = run_extraction(spark, docs, media)
+    disorder = out.select(
+        F.exists(
+            F.zip_with(
+                F.slice("spans", 1, F.size("spans") - 1),
+                F.slice("spans", 2, F.size("spans") - 1),
+                lambda a, b: a["offset"] >= b["offset"],
+            ),
+            lambda x: x,
+        ).alias("bad")
+    ).filter("bad")
+    assert disorder.count() == 0
+
+
+def test_missing_media_ref_yields_empty_text(spark):
+    from ocr_text_recognition_spark.schemas import DOCUMENTS_SCHEMA, MEDIA_SCHEMA
+
+    docs = spark.createDataFrame(
+        [("d1", [("media", "", "nope", 0), ("text", "<p>some real content here</p>", "", 1)])],
+        DOCUMENTS_SCHEMA,
+    )
+    media = spark.createDataFrame([], MEDIA_SCHEMA)
+    (row,) = run_extraction(spark, docs, media).collect()
+    assert _as_tuples(row["spans"]) == [
+        ("media", "", "nope", 0),
+        ("text", "some real content here", "", 1),
+    ]
