@@ -1,38 +1,549 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship interleaved-extraction pipeline over
+sf0.001. ``queries()`` exposes every implemented operator from SURVEY.md §2
+plus the training-data operators (dedup / similarity / text analysis);
+``oracle_sql()`` gives each one a DuckDB twin (same column names, floats
+rounded identically, timestamps cast to epoch seconds).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents unioned with a shifted copy of doc_id<20 — guarantees
+    duplicate texts exist so dedup queries return non-trivial results."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build an interleaved text+media corpus from the sf0.001
+    documents table, run the full extraction pipeline (Arrow-batched OCR
+    kernel + HTML main-content + salted reassembly), return per-doc stats."""
+    from ocr_text_recognition_spark import corpus
+    from ocr_text_recognition_spark.extraction.pipeline import run_extraction
+    from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+    from ocr_text_recognition_spark.schemas import DOCUMENTS_SCHEMA
+
+    sf_dir = "/root/testdata/sf0.001"
+    flat = _t(spark, sf_dir, "documents")
+
+    # media pool: deterministic synthetic images (generated once, small)
+    _, media_pd = corpus.make_corpus(8, seed=42)
+    media = pandas_to_spark(spark, media_pd, "media")
+    pool = media_pd["media_ref"].tolist()
+    refs = F.array(*[F.lit(r) for r in pool])
+
+    docs = flat.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("<html><body><nav><a href='/'>nav</a></nav><p>"), F.col("text"), F.lit("</p></body></html>")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                F.element_at(refs, (F.pmod(F.col("doc_id"), F.lit(len(pool))) + 1).cast("int")).alias("media_ref"),
+                F.lit(1).cast("int").alias("offset"),
+            ),
+        ).cast(DOCUMENTS_SCHEMA["spans"].dataType).alias("spans"),
+    )
+    out = run_extraction(spark, docs, media)
+    return out.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.aggregate(
+            F.transform("spans", lambda s: F.length(s["text"])),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).alias("chars_extracted"),
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_filter_projection(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter((F.col("value") > 0.5) & (F.col("event_type") == "click")).select(
+        "event_id", "user_id", F.round("value", 6).alias("value_r")
+    )
+
+
+def q03_argmax_per_group(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("max_price"))
+    )
+
+
+def q04_ordered_concat(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("l_linenumber", "l_returnflag"))),
+                    lambda s: s["l_returnflag"],
+                ),
+            ).alias("flags_in_order")
+        )
+    )
+
+
+def q05_gap_sessionize_events(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.sessionize import gap_sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    sess = gap_sessionize(ev, ["user_id"], "ts_s", 1800)
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+def q06_scanline_merge(spark, sf_dir):
+    """1-D cluster-merge of 'scanline' coordinates (reference
+    table_ocr_service.py:176-188) re-expressed over event values."""
+    from ocr_text_recognition_spark.operators.sessionize import gap_sessionize
+
+    coords = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.floor(F.col("value") * 1000).cast("long").alias("pos"))
+        .distinct()
+    )
+    sess = gap_sessionize(coords, ["event_type"], "pos", 10, session_col="cluster")
+    return (
+        sess.groupBy("event_type", "cluster")
+        .agg(F.round(F.avg("pos"), 2).alias("merged_pos"), F.count("*").alias("n_merged"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("merged_pos"), 2).alias("sum_pos"),
+            F.sum("n_merged").alias("n_raw"),
+        )
+    )
+
+
+def _cells(spark, sf_dir):
+    """Synthetic long-format cells derived deterministically from events
+    (one value per (doc,row,col) via max_by on event_id): value is
+    numeric-looking for even event_ids, text otherwise."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.pmod("user_id", F.lit(10)).alias("doc_id"),
+        F.pmod("event_id", F.lit(4)).cast("int").alias("row_idx"),
+        F.pmod(F.col("event_id") + 1, F.lit(3)).cast("int").alias("col_idx"),
+    ).agg(
+        F.max_by(
+            F.when(
+                F.pmod("event_id", F.lit(2)) == 0,
+                F.format_number(F.round("value", 2), 2),
+            ).otherwise(F.col("event_type")),
+            F.col("event_id"),
+        ).alias("value")
+    )
+
+
+def q07_header_inference(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.tableops import header_score
+
+    return header_score(_cells(spark, sf_dir))
+
+
+def q08_numeric_truthtable(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.textops import is_numeric, is_numeric_vi
+
+    cells = _cells(spark, sf_dir)
+    return cells.groupBy("doc_id").agg(
+        F.sum(is_numeric(F.col("value")).cast("int")).alias("n_numeric"),
+        F.sum(is_numeric_vi(F.col("value")).cast("int")).alias("n_numeric_vi"),
+        F.count("*").alias("n_cells"),
+    )
+
+
+def q09_metadata_extract(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.textops import extract_metadata_field
+
+    cust = _t(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("Name: "), F.col("c_name"),
+        F.lit("\nClass: "), F.col("c_mktsegment"),
+        F.lit("\nYear: 2025-2026"),
+    )
+    return cust.select(
+        "c_custkey",
+        extract_metadata_field(text, "student_name").alias("student_name"),
+        extract_metadata_field(text, "class_name").alias("class_name"),
+        extract_metadata_field(text, "school").alias("school"),
+        extract_metadata_field(text, "year").alias("year"),
+    )
+
+
+def q10_grade_cast(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.textops import grade_cast
+
+    li = _t(spark, sf_dir, "lineitem")
+    vi = F.replace(F.format_number(F.col("l_quantity"), 1), F.lit("."), F.lit(","))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(grade_cast(vi)), 2).alias("sum_grades"),
+        F.count("*").alias("n"),
+    )
+
+
+def q11_row_padding(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.tableops import pad_rows
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    rows = li.groupBy(
+        F.col("l_orderkey").alias("doc_id"),
+        F.pmod("l_linenumber", F.lit(2)).cast("int").alias("row_idx"),
+    ).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "l_returnflag"))),
+            lambda s: s["l_returnflag"],
+        ).alias("cells"),
+    )
+    padded = pad_rows(rows)
+    return padded.select(
+        "doc_id", "row_idx", F.posexplode("cells").alias("col_idx", "value")
+    ).select("doc_id", "row_idx", F.col("col_idx").cast("int").alias("col_idx"), "value")
+
+
+def q12_grades_rows(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.tableops import grades_rows
+
+    return grades_rows(_cells(spark, sf_dir)).select(
+        "doc_id", "row_idx", "subject", "col_idx",
+        F.round("grade_num", 2).alias("grade_num"), "grade_raw",
+    )
+
+
+def q13_broadcast_join_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q14_topn_per_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("c_nationkey", "rnk", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def q15_exact_dedup(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_dup_documents(spark, sf_dir), "doc_id", "text")
+
+
+def q16_minhash_signatures(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return minhash_signatures(docs, "doc_id", "text", num_perm=8)
+
+
+def q17_lsh_pairs(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_dup_documents(spark, sf_dir), "doc_id", "text", num_perm=8)
+    return lsh_candidate_pairs(sigs, num_perm=8, bands=4).select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def q18_simhash(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.dedup import simhash16
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash16(docs, "doc_id", "text")
+
+
+def q19_ngram_jaccard(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _dup_documents(spark, sf_dir).filter(
+        (F.col("doc_id") < 40) | (F.col("doc_id") >= 100000)
+    )
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q20_brute_force_topk(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb.filter(F.col("vec_id") >= 3), queries, k=5)
+    return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos_r"), "rank")
+
+
+def q21_embedding_near_dup(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.similarity import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # self-duplicate a slice so near-dup pairs exist
+    dup = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    both = emb.unionByName(dup)
+    return embedding_near_dup(both, dim=64, threshold=0.999).select(
+        "id_a", "id_b", F.round("cos", 5).alias("cos_r")
+    )
+
+
+def q22_lang_id(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.textanalysis import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred")).groupBy(
+        "lang_pred"
+    ).agg(F.count("*").alias("n_docs"))
+
+
+def q23_quality_score(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.textanalysis import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q24_token_counts(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.textanalysis import (
+        token_count_bpe,
+        token_count_ws,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).cast("int").alias("n_tokens_bpe"),
+    )
+
+
+def q25_fingerprints(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.textanalysis import (
+        fingerprint,
+        rolling_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        rolling_fingerprint(F.col("text"), 3).alias("rolling_fp"),
+    )
+
+
+def q26_windowed_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q27_salted_skew_agg(spark, sf_dir):
+    """Two-phase salted aggregation (explicit skew handling) — result is
+    identical to a plain groupBy; the salt only reshapes the shuffle."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(16))
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count("*").alias("c"), F.sum("value").alias("s")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"), F.round(F.sum("s"), 4).alias("sum_value")
+    )
+
+
+def q28_extract_main_text(spark, sf_dir):
+    from ocr_text_recognition_spark.extraction.udfs import extract_main_text_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit("<html><body><nav><a href='/x'>boilerplate nav</a></nav><p>"),
+        F.col("text"),
+        F.lit("</p><footer>footer junk</footer></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        extract_main_text_udf(wrapped).alias("main_text"),
+    ).select("doc_id", F.length("main_text").alias("n_chars"), "main_text")
+
+
+def q29_extraction_pipeline(spark, sf_dir):
+    """Full interleaved extraction on a generated corpus (kernel UDFs +
+    salted reassembly). Non-SQL-expressible -> rows-only driver check."""
+    from ocr_text_recognition_spark import corpus
+    from ocr_text_recognition_spark.extraction.pipeline import run_extraction
+    from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+
+    docs_pd, media_pd = corpus.make_corpus(24, seed=42)
+    docs = pandas_to_spark(spark, docs_pd, "documents")
+    media = pandas_to_spark(spark, media_pd, "media")
+    out = run_extraction(spark, docs, media)
+    return out.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.aggregate(
+            F.transform("spans", lambda s: F.length(s["text"])),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).alias("chars_extracted"),
+    )
+
+
+def q30_image_metadata(spark, sf_dir):
+    """Multimodal metadata over generated media payloads (mapInPandas,
+    Arrow batches). Rows-only driver check (kernel not SQL-expressible)."""
+    from ocr_text_recognition_spark import corpus
+    from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+    from ocr_text_recognition_spark.operators.multimodal import image_metadata
+
+    _, media_pd = corpus.make_corpus(16, seed=42)
+    media = pandas_to_spark(spark, media_pd, "media")
+    return image_metadata(media).select(
+        "media_ref", "height", "width", "n_bytes", F.round("ink_density", 4).alias("ink_density"), "valid"
+    )
+
+
+def q31_tokens_to_grid(spark, sf_dir):
+    from ocr_text_recognition_spark.operators.sessionize import tokens_to_grid
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    tokens = li.select(
+        F.col("l_orderkey").alias("doc_id"),
+        (F.pmod("l_partkey", F.lit(12)) * 25 + F.pmod("l_suppkey", F.lit(8))).cast("long").alias("top"),
+        (F.pmod("l_suppkey", F.lit(30)) * 20).cast("long").alias("left"),
+        F.col("l_returnflag").alias("text"),
+    )
+    return tokens_to_grid(tokens, y_gap=20, tie_cols=["text"]).select(
+        "doc_id", "top", "left", "text", "row_idx", "col_idx"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_filter_projection": q02_filter_projection,
+        "q03_argmax_per_group": q03_argmax_per_group,
+        "q04_ordered_concat": q04_ordered_concat,
+        "q05_gap_sessionize_events": q05_gap_sessionize_events,
+        "q06_scanline_merge": q06_scanline_merge,
+        "q07_header_inference": q07_header_inference,
+        "q08_numeric_truthtable": q08_numeric_truthtable,
+        "q09_metadata_extract": q09_metadata_extract,
+        "q10_grade_cast": q10_grade_cast,
+        "q11_row_padding": q11_row_padding,
+        "q12_grades_rows": q12_grades_rows,
+        "q13_broadcast_join_revenue": q13_broadcast_join_revenue,
+        "q14_topn_per_nation": q14_topn_per_nation,
+        "q15_exact_dedup": q15_exact_dedup,
+        "q16_minhash_signatures": q16_minhash_signatures,
+        "q17_lsh_pairs": q17_lsh_pairs,
+        "q18_simhash": q18_simhash,
+        "q19_ngram_jaccard": q19_ngram_jaccard,
+        "q20_brute_force_topk": q20_brute_force_topk,
+        "q21_embedding_near_dup": q21_embedding_near_dup,
+        "q22_lang_id": q22_lang_id,
+        "q23_quality_score": q23_quality_score,
+        "q24_token_counts": q24_token_counts,
+        "q25_fingerprints": q25_fingerprints,
+        "q26_windowed_events": q26_windowed_events,
+        "q27_salted_skew_agg": q27_salted_skew_agg,
+        "q28_extract_main_text": q28_extract_main_text,
+        "q29_extraction_pipeline": q29_extraction_pipeline,
+        "q30_image_metadata": q30_image_metadata,
+        "q31_tokens_to_grid": q31_tokens_to_grid,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_text_recognition_spark.oracles import ORACLES
+
+    return dict(ORACLES)

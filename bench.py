@@ -1,0 +1,111 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is forced
+end-to-end with the noop sink (computes everything, writes nothing).
+
+The extraction benchmark additionally reports docs/sec and chars/sec for
+the full interleaved pipeline (kernel UDFs + salted reassembly) over a
+deterministic generated corpus; corpus generation happens off the clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EXTRACTION_DOCS = int(os.environ.get("SPARK_GRAFT_EXTRACT_DOCS", "240"))
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_argmax_per_group",
+    "q05_gap_sessionize_events",
+    "q13_broadcast_join_revenue",
+    "q16_minhash_signatures",
+    "q17_lsh_pairs",
+    "q18_simhash",
+    "q20_brute_force_topk",
+    "q22_lang_id",
+    "q24_token_counts",
+    "q26_windowed_events",
+    "q31_tokens_to_grid",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from ocr_text_recognition_spark import corpus
+    from ocr_text_recognition_spark.extraction.pipeline import run_extraction
+    from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+    from ocr_text_recognition_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # --- relational/operator queries over the sf tables
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, SF_DIR)
+        df.count()  # warm the scan cache once; timing the steady state
+        t0 = time.time()
+        force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- extraction pipeline (docs/sec, chars/sec)
+    docs_pd, media_pd = corpus.make_corpus(EXTRACTION_DOCS, seed=42)
+    docs = pandas_to_spark(spark, docs_pd, "documents")
+    media = pandas_to_spark(spark, media_pd, "media")
+    docs.persist().count()
+    media.persist().count()
+    t0 = time.time()
+    out = run_extraction(spark, docs, media)
+    from pyspark.sql import functions as F
+
+    stats = out.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size("spans")).alias("spans"),
+        F.sum(
+            F.aggregate(
+                F.transform("spans", lambda s: F.length(s["text"])),
+                F.lit(0),
+                lambda a, b: a + b,
+            )
+        ).alias("chars"),
+    ).collect()[0]
+    ext_sec = time.time() - t0
+    timings["extraction_pipeline"] = round(ext_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "extraction": {
+                    "docs": int(stats["docs"]),
+                    "spans": int(stats["spans"]),
+                    "chars": int(stats["chars"]),
+                    "docs_per_sec": round(stats["docs"] / ext_sec, 2),
+                    "chars_per_sec": round(stats["chars"] / ext_sec, 1),
+                },
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,9 +28,9 @@ def _engine():
         from ocr_text_recognition_spark.kernel import reference_kernel
 
         # Warm the template caches so the first batch isn't an outlier.
-        from ocr_text_recognition_spark.kernel.recognize import _atlas_colcropped, _exact_lookup
+        from ocr_text_recognition_spark.kernel.recognize import _exact_lookup, _template_tensor
 
-        _atlas_colcropped()
+        _template_tensor()
         _exact_lookup()
         _ENGINE = (html.extract_main_text, reference_kernel.recognize_media_bytes)
     return _ENGINE

@@ -28,12 +28,18 @@ CELL_SEP = " | "
 
 
 def preprocess_image(img: np.ndarray) -> np.ndarray:
-    """Raw image -> cleaned, deskewed binary ink mask (uint8 {0,1})."""
+    """Raw image -> cleaned, deskewed, despeckled binary ink mask.
+
+    Despeckling (connected-component area filter) runs ONCE here rather
+    than per text line / per table cell — one labeling pass per image."""
     gray = imageops.to_grayscale(img)
     blur = imageops.gaussian_blur(gray, ksize=5, sigma=1.0)
     mask = imageops.otsu_binarize(blur)
     mask = imageops.median3(mask)
-    return imageops.deskew(mask)
+    mask = imageops.deskew(mask)
+    from ocr_text_recognition_spark.kernel import segment
+
+    return segment.remove_specks(mask)
 
 
 def recognize_media_bytes(data: bytes | None) -> str:

@@ -93,7 +93,6 @@ def extract_table(mask: np.ndarray) -> list[list[str]] | None:
             c["top"] + CELL_INSET : c["bottom"] - CELL_INSET,
             c["left"] + CELL_INSET : c["right"] - CELL_INSET,
         ]
-        crop = segment.remove_specks(crop)
         lines = []
         for t, b in segment.segment_lines(crop):
             txt = recognize.recognize_line(crop[t:b]).strip()

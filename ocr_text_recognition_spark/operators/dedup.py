@@ -1,0 +1,144 @@
+"""Deduplication operators for training-data pipelines — exact, MinHash+LSH,
+SimHash, and n-gram Jaccard. All pure Spark SQL over md5-derived hashes, so
+(a) the DuckDB oracle can run the exact same math, and (b) everything stays
+JVM-side / codegen'd with no UDFs.
+
+Scale notes:
+- exact dedup = one hash-shuffle on the fingerprint; at 100 TB this is the
+  cheapest possible full-corpus pass (map-side partial counts first).
+- MinHash signatures are computed in ONE aggregation over exploded shingles
+  (k mins at once — not k passes). LSH banding turns all-pairs into a join
+  keyed by (band_id, band_hash): only docs sharing a band bucket ever meet,
+  so the shuffle is O(candidates), not O(n^2).
+- n-gram Jaccard is the verify step AFTER LSH pruning; running it raw
+  (self-join on shingle) is quadratic in bucket size and only used as the
+  small-scale oracle-checkable variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_text_recognition_spark.operators.textanalysis import fingerprint, shingles, tokens
+
+DEFAULT_NUM_PERM = 8
+DEFAULT_BANDS = 4
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of exact duplicates (whitespace/case-normalized md5 key).
+    Returns (fingerprint, dup_count, min_id) for groups with >1 member —
+    min_id is the canonical survivor."""
+    keyed = df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        keyed.groupBy("fp")
+        .agg(F.count("*").alias("dup_count"), F.min("id").alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = DEFAULT_NUM_PERM, n: int = 3
+) -> DataFrame:
+    """(id, minhash_0..minhash_{k-1}): per-permutation minima of
+    md5(perm_index || ':' || shingle). One explode + one aggregation."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("id").agg(*mins)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Band the signature, bucket-join within (band_id, band_key), emit
+    distinct candidate pairs (id_a < id_b) plus their estimated Jaccard
+    (fraction of matching minhashes)."""
+    rows_per_band = num_perm // bands
+    band_keys = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("id", *[F.col(f"mh_{i}") for i in range(num_perm)], *band_keys)
+    stacked = banded.select(
+        "id",
+        *[F.col(f"mh_{i}") for i in range(num_perm)],
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("bkey")) for b in range(bands)])
+        ).alias("band"),
+    ).select("id", *[f"mh_{i}" for i in range(num_perm)], "band.band_id", "band.bkey")
+    a = stacked.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_perm)],
+        "band_id",
+        "bkey",
+    )
+    b = stacked.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_perm)],
+        "band_id",
+        "bkey",
+    )
+    joined = a.join(b, ["band_id", "bkey"]).filter(F.col("id_a") < F.col("id_b"))
+    match_frac = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_perm)
+    ) / F.lit(float(num_perm))
+    return (
+        joined.select("id_a", "id_b", match_frac.alias("est_jaccard"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over whitespace tokens: bit j = sign of the sum over
+    tokens of (bit_j(md5_16(token)) * 2 - 1)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
+    bit_sums = [
+        F.sum(
+            (F.col("h").bitwiseAND(F.lit(1 << j)) != 0).cast("int") * 2 - 1
+        ).alias(f"s_{j}")
+        for j in range(16)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sim = sum(
+        F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(16)
+    )
+    return agg.select("id", sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
+    The verify stage after LSH pruning; quadratic within shingle groups."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    withs = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+    )
+    return withs.select(
+        "id_a",
+        "id_b",
+        (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

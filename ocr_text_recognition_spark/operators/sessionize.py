@@ -46,10 +46,12 @@ def tokens_to_grid(
     y_col: str = "top",
     x_col: str = "left",
     y_gap: float = 20,
+    tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Token boxes -> (row_idx, col_idx) grid positions, the reference's
     _group_text_into_table: sort by (top, left), y-gap sessionize rows,
-    sort each row by left."""
+    sort each row by left. ``tie_cols`` adds deterministic tie-breaks for
+    inputs where (left, top) may repeat within a row."""
     with_rows = gap_sessionize(tokens, [doc_col], y_col, y_gap, session_col="row_idx")
-    w_col = Window.partitionBy(doc_col, "row_idx").orderBy(x_col, y_col)
+    w_col = Window.partitionBy(doc_col, "row_idx").orderBy(x_col, y_col, *(tie_cols or []))
     return with_rows.withColumn("col_idx", F.row_number().over(w_col) - 1)

@@ -1,0 +1,106 @@
+"""Tabularization operators (SURVEY.md §2.4 / D5-D7) — pure Spark SQL.
+
+- header inference: first row promoted iff >50% of its cells are
+  non-numeric (/root/reference/src/services/table_ocr_service.py:309-336)
+- row padding to max width with '' (table_ocr_service.py:297-304)
+- synthetic column names Column_{i} (table_ocr_service.py:313)
+- grades document assembly {student, class, grades:[{subject, ...}]}
+  (enhanced_table_ocr_service.py:545-593)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_text_recognition_spark.operators.textops import grade_cast, is_numeric
+
+
+def header_score(cells: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Long-format cells (doc, row_idx, col_idx, value) -> per-doc header
+    verdict: the count of non-numeric, non-empty first-row cells must
+    exceed half the row width."""
+    first_row = cells.filter(F.col("row_idx") == 0)
+    return first_row.groupBy(doc_col).agg(
+        F.sum(
+            F.when((~is_numeric(F.col("value"))) & (F.trim("value") != ""), 1).otherwise(0)
+        ).alias("non_numeric_cells"),
+        F.count("*").alias("row_width"),
+    ).select(
+        doc_col,
+        "non_numeric_cells",
+        "row_width",
+        (F.col("non_numeric_cells") * 2 > F.col("row_width")).alias("has_header"),
+    )
+
+
+def pad_rows(rows: DataFrame, doc_col: str = "doc_id", cells_col: str = "cells") -> DataFrame:
+    """Per-doc: pad every row array to the doc's max width with ''."""
+    w = rows.groupBy(doc_col).agg(F.max(F.size(cells_col)).alias("max_cols"))
+    return rows.join(w, doc_col).select(
+        doc_col,
+        "row_idx",
+        F.concat(
+            F.col(cells_col),
+            F.array_repeat(F.lit(""), F.col("max_cols") - F.size(cells_col)),
+        ).alias(cells_col),
+    )
+
+
+def synthetic_col_names(n: int | None = None):
+    """Column_1..N name array expression (for headerless tables)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(n) if n else F.col("max_cols")),
+        lambda i: F.concat(F.lit("Column_"), i.cast("string")),
+    )
+
+
+def grades_rows(cells: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Long-format grade-table cells -> one row per (doc, data row) with the
+    subject (col 0) and grade columns cast numerically where possible.
+
+    Column classification uses the positional fallback (first col =
+    subject, rest = grades, enhanced_table_ocr_service.py:568-571);
+    keyword-based classification is a filter callers apply on header text.
+    """
+    data = cells.filter(F.col("row_idx") > 0)
+    subjects = data.filter(F.col("col_idx") == 0).select(
+        doc_col, "row_idx", F.col("value").alias("subject")
+    )
+    grades = data.filter(F.col("col_idx") > 0).select(
+        doc_col,
+        "row_idx",
+        "col_idx",
+        grade_cast(F.col("value")).alias("grade_num"),
+        F.col("value").alias("grade_raw"),
+    )
+    return subjects.join(grades, [doc_col, "row_idx"])
+
+
+def grades_json(cells: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Assemble the per-document grades JSON document (D7)."""
+    rows = grades_rows(cells, doc_col)
+    per_row = rows.groupBy(doc_col, "row_idx", "subject").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("col_idx"), F.col("grade_num"), F.col("grade_raw")))
+        ).alias("g")
+    )
+    per_doc = per_row.groupBy(doc_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("row_idx"), F.col("subject"), F.col("g")))
+        ).alias("rows")
+    )
+    return per_doc.select(
+        doc_col,
+        F.to_json(
+            F.struct(
+                F.transform(
+                    "rows",
+                    lambda r: F.struct(
+                        r["subject"].alias("subject"),
+                        F.transform(r["g"], lambda x: x["grade_num"]).alias("grades"),
+                    ),
+                ).alias("grades")
+            )
+        ).alias("grades_json"),
+    )

@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+All pure Spark SQL (JVM-side, codegen'd) — these run over every document
+at corpus scale, so no Python may touch the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic stopword-profile language ID. Tiny on purpose: the corpus
+# generator's languages are {en, de, es, fr, zh}; the operator's mechanics
+# (per-language evidence count -> argmax) are what scale, the word lists
+# are swappable.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "es"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "une", "que", "sur"],
+}
+
+TOKEN_SPLIT = r"\s+"
+# BPE-ish token regex: word pieces, numbers, or single punctuation marks.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (empty strings filtered)."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: words + numbers + punctuation marks, counted
+    via regexp_count (stays JVM-side; no tokenizer UDF)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+def _stopword_hits(text: Column, words: list[str]) -> Column:
+    toks = tokens(text)
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t)))
+
+
+def lang_scores(text: Column) -> Column:
+    """Struct of per-language stopword-hit counts."""
+    return F.struct(
+        *[_stopword_hits(text, ws).alias(lang) for lang, ws in LANG_STOPWORDS.items()]
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language, with a CJK-codepoint check first (zh has no
+    whitespace stopwords) and 'und' when no evidence at all."""
+    has_cjk = F.regexp_count(text, F.lit(r"[一-鿿]")) > 0
+    scores = [(lang, _stopword_hits(text, ws)) for lang, ws in LANG_STOPWORDS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    pick = F.coalesce(
+        *[F.when((s == best) & (best > 0), F.lit(lang)) for lang, s in scores],
+        F.lit("und"),
+    )
+    return F.when(has_cjk, F.lit("zh")).otherwise(pick)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length band + alpha ratio +
+    mean-word-length band + stopword presence. Deterministic heuristic in
+    the Gopher/C4-filter family; each term is a pure SQL expression."""
+    n_chars = F.length(text)
+    n_tokens = token_count_ws(text)
+    alpha_ratio = F.regexp_count(text, F.lit(r"[A-Za-z]")) / F.greatest(n_chars, F.lit(1))
+    mean_word_len = n_chars / F.greatest(n_tokens, F.lit(1))
+    en_hits = _stopword_hits(text, LANG_STOPWORDS["en"])
+    len_term = F.when((n_chars >= 50) & (n_chars <= 100000), 0.25).otherwise(0.0)
+    alpha_term = F.when(alpha_ratio >= 0.6, 0.25).otherwise(0.0)
+    word_term = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 0.25).otherwise(0.0)
+    stop_term = F.when(en_hits >= 2, 0.25).otherwise(0.0)
+    return (len_term + alpha_term + word_term + stop_term).alias("quality")
+
+
+def fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of whitespace-normalized lowercase
+    text (exact-dedup key)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), the unit for MinHash/Jaccard."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+        .otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def rolling_fingerprint(text: Column, n: int = 3) -> Column:
+    """Content-defined fingerprint: minimum md5 over word n-gram shingles —
+    stable under small edits (the rolling-hash document fingerprint)."""
+    return F.array_min(F.transform(shingles(text, n), F.md5))

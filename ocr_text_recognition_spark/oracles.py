@@ -1,0 +1,387 @@
+"""DuckDB oracle SQL — one twin per SQL-expressible entry in
+``__spark_entry__.queries()``. Column names, float rounding, and integer
+widths are aligned with the Spark side (the driver hashes values after
+sorting columns by name). Queries q29/q30 (kernel UDFs) are rows-only.
+"""
+
+from __future__ import annotations
+
+from ocr_text_recognition_spark.operators.similarity import hyperplanes
+
+_DUP_DOCS = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20"
+)
+
+# tokens/shingles CTE fragments shared by dedup/text-analysis oracles.
+def _toks(src: str, where: str = "TRUE") -> str:
+    return (
+        f"SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), "
+        f"t -> t <> '') AS toks FROM ({src}) WHERE {where}"
+    )
+
+
+def _shingles(toks_cte: str, n: int = 3) -> str:
+    """DISTINCT word n-gram shingles per doc (full text when < n tokens)."""
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+    SELECT DISTINCT doc_id, CASE WHEN len(toks) >= {n} THEN {parts}
+           ELSE array_to_string(toks, ' ') END AS sh
+    FROM (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - {n - 1}, 1))) AS i
+          FROM ({toks_cte}))
+    """
+
+
+def _minhash_select(num_perm: int = 8) -> str:
+    mins = ", ".join(f"min(md5('{i}:' || sh)) AS mh_{i}" for i in range(num_perm))
+    return f"SELECT doc_id AS id, {mins}"
+
+
+_CELLS = """
+SELECT user_id % 10 AS doc_id,
+       CAST(event_id % 4 AS INT) AS row_idx,
+       CAST((event_id + 1) % 3 AS INT) AS col_idx,
+       arg_max(CASE WHEN event_id % 2 = 0 THEN format('{:.2f}', ROUND(value, 2))
+                    ELSE event_type END, event_id) AS value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q01_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q02_filter_projection"] = """
+SELECT event_id, user_id, ROUND(value, 6) AS value_r
+FROM events WHERE value > 0.5 AND event_type = 'click'
+"""
+
+ORACLES["q03_argmax_per_group"] = """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS max_price
+FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+      FROM lineitem) WHERE rn = 1
+"""
+
+ORACLES["q04_ordered_concat"] = """
+SELECT l_orderkey, string_agg(l_returnflag, chr(10) ORDER BY l_linenumber, l_returnflag) AS flags_in_order
+FROM lineitem GROUP BY l_orderkey
+"""
+
+ORACLES["q05_gap_sessionize_events"] = """
+WITH ts AS (SELECT user_id, CAST(epoch(ts) AS BIGINT) AS ts_s FROM events),
+sess AS (
+  SELECT user_id,
+         SUM(CASE WHEN prev IS NULL THEN 0 WHEN ts_s - prev > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (SELECT user_id, ts_s, LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS prev FROM ts)
+),
+per_sess AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
+SELECT user_id, CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions, MAX(n_events) AS max_session_events
+FROM per_sess GROUP BY user_id
+"""
+
+ORACLES["q06_scanline_merge"] = """
+WITH coords AS (SELECT DISTINCT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS pos FROM events),
+sess AS (
+  SELECT event_type, pos,
+         SUM(CASE WHEN prev IS NULL THEN 0 WHEN pos - prev > 10 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster
+  FROM (SELECT event_type, pos, LAG(pos) OVER (PARTITION BY event_type ORDER BY pos) AS prev FROM coords)
+),
+merged AS (SELECT event_type, cluster, ROUND(AVG(pos), 2) AS merged_pos, COUNT(*) AS n_merged
+           FROM sess GROUP BY 1, 2)
+SELECT event_type, COUNT(*) AS n_lines, ROUND(SUM(merged_pos), 2) AS sum_pos,
+       CAST(SUM(n_merged) AS BIGINT) AS n_raw
+FROM merged GROUP BY event_type
+"""
+
+ORACLES["q07_header_inference"] = f"""
+WITH cells AS ({_CELLS})
+SELECT doc_id,
+       SUM(CASE WHEN NOT (length(regexp_replace(trim(value), '[,%]', '', 'g')) > 0
+                          AND TRY_CAST(regexp_replace(trim(value), '[,%]', '', 'g') AS DOUBLE) IS NOT NULL)
+                 AND trim(value) <> '' THEN 1 ELSE 0 END)::BIGINT AS non_numeric_cells,
+       COUNT(*) AS row_width,
+       SUM(CASE WHEN NOT (length(regexp_replace(trim(value), '[,%]', '', 'g')) > 0
+                          AND TRY_CAST(regexp_replace(trim(value), '[,%]', '', 'g') AS DOUBLE) IS NOT NULL)
+                 AND trim(value) <> '' THEN 1 ELSE 0 END) * 2 > COUNT(*) AS has_header
+FROM cells WHERE row_idx = 0 GROUP BY doc_id
+"""
+
+ORACLES["q08_numeric_truthtable"] = f"""
+WITH cells AS ({_CELLS})
+SELECT doc_id,
+       SUM(CASE WHEN length(regexp_replace(trim(value), '[,%]', '', 'g')) > 0
+                 AND TRY_CAST(regexp_replace(trim(value), '[,%]', '', 'g') AS DOUBLE) IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_numeric,
+       SUM(CASE WHEN length(replace(regexp_replace(trim(value), ',', '.', 'g'), '%', '')) > 0
+                 AND TRY_CAST(replace(regexp_replace(trim(value), ',', '.', 'g'), '%', '') AS DOUBLE) IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_numeric_vi,
+       COUNT(*) AS n_cells
+FROM cells GROUP BY doc_id
+"""
+
+ORACLES["q09_metadata_extract"] = """
+WITH t AS (SELECT c_custkey,
+                  'Name: ' || c_name || chr(10) || 'Class: ' || c_mktsegment || chr(10) || 'Year: 2025-2026' AS txt
+           FROM customer)
+SELECT c_custkey,
+       NULLIF(TRIM(regexp_extract(txt, '(?i)(?:ho ten|ten|name)\\s*[:]\\s*([^\\n]+)', 1)), '') AS student_name,
+       NULLIF(TRIM(regexp_extract(txt, '(?i)(?:lop|class)\\s*[:]\\s*([^\\n]+)', 1)), '') AS class_name,
+       NULLIF(TRIM(regexp_extract(txt, '(?i)(?:truong|school)\\s*[:]\\s*([^\\n]+)', 1)), '') AS school,
+       NULLIF(TRIM(regexp_extract(txt, '(?i)(?:nam hoc|year)\\s*[:]\\s*([0-9]{4}(?:\\s*-\\s*[0-9]{4})?)', 1)), '') AS year
+FROM t
+"""
+
+ORACLES["q10_grade_cast"] = """
+SELECT l_returnflag,
+       ROUND(SUM(CAST(replace(replace(format('{:.1f}', l_quantity), '.', ','), ',', '.') AS DOUBLE)), 2) AS sum_grades,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["q11_row_padding"] = """
+WITH base AS (SELECT l_orderkey AS doc_id, CAST(l_linenumber % 2 AS INT) AS row_idx,
+                     l_linenumber, l_returnflag
+              FROM lineitem WHERE l_orderkey < 200),
+ranked AS (SELECT doc_id, row_idx, l_returnflag AS value,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, row_idx ORDER BY l_linenumber, l_returnflag) - 1 AS INT) AS col_idx
+           FROM base),
+widths AS (SELECT doc_id, row_idx, COUNT(*) AS w FROM base GROUP BY 1, 2),
+maxw AS (SELECT doc_id, MAX(w) AS mw FROM widths GROUP BY 1),
+slots AS (SELECT w.doc_id, w.row_idx, CAST(unnest(generate_series(0, m.mw - 1)) AS INT) AS col_idx
+          FROM widths w JOIN maxw m USING (doc_id))
+SELECT s.doc_id, s.row_idx, s.col_idx, COALESCE(r.value, '') AS value
+FROM slots s LEFT JOIN ranked r USING (doc_id, row_idx, col_idx)
+"""
+
+ORACLES["q12_grades_rows"] = f"""
+WITH cells AS ({_CELLS}),
+subj AS (SELECT doc_id, row_idx, value AS subject FROM cells WHERE col_idx = 0 AND row_idx > 0),
+gr AS (SELECT doc_id, row_idx, col_idx,
+              ROUND(TRY_CAST(regexp_replace(trim(value), ',', '.', 'g') AS DOUBLE), 2) AS grade_num,
+              value AS grade_raw
+       FROM cells WHERE col_idx > 0 AND row_idx > 0)
+SELECT s.doc_id, s.row_idx, s.subject, g.col_idx, g.grade_num, g.grade_raw
+FROM subj s JOIN gr g USING (doc_id, row_idx)
+"""
+
+ORACLES["q13_broadcast_join_revenue"] = """
+SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+ORACLES["q14_topn_per_nation"] = """
+SELECT c_nationkey, CAST(rnk AS INT) AS rnk, c_custkey, ROUND(c_acctbal, 2) AS acctbal
+FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+      FROM customer) WHERE rnk <= 2
+"""
+
+ORACLES["q15_exact_dedup"] = f"""
+WITH d AS ({_DUP_DOCS})
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
+FROM d GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+ORACLES["q16_minhash_signatures"] = f"""
+WITH toks AS ({_toks("SELECT doc_id, text FROM documents", "doc_id < 50")}),
+sh AS ({_shingles("SELECT * FROM toks")})
+{_minhash_select(8)} FROM sh GROUP BY doc_id
+"""
+
+_SIG_DUP = f"""
+toks AS ({_toks(_DUP_DOCS)}),
+sh AS ({_shingles("SELECT * FROM toks")}),
+sig AS ({_minhash_select(8)} FROM sh GROUP BY doc_id)
+"""
+
+ORACLES["q17_lsh_pairs"] = f"""
+WITH {_SIG_DUP},
+band AS (
+  SELECT id, 0 AS band_id, md5(mh_0 || '|' || mh_1) AS bkey FROM sig
+  UNION ALL SELECT id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+  UNION ALL SELECT id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+  UNION ALL SELECT id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+),
+pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM band a JOIN band b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.id < b.id)
+SELECT p.id_a, p.id_b,
+       ROUND(({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(8))}) / 8.0, 4) AS est_jaccard
+FROM pairs p JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b
+"""
+
+_SIMHASH_BITS = ", ".join(
+    f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{j}" for j in range(16)
+)
+_SIMHASH_VAL = " + ".join(f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+
+ORACLES["q18_simhash"] = f"""
+WITH toks AS ({_toks("SELECT doc_id, text FROM documents", "doc_id < 100")}),
+tok AS (SELECT doc_id AS id, unnest(toks) AS t FROM toks),
+h AS (SELECT id, CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) AS h FROM tok),
+bits AS (SELECT id, {_SIMHASH_BITS} FROM h GROUP BY id)
+SELECT id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits
+"""
+
+ORACLES["q19_ngram_jaccard"] = f"""
+WITH d AS (SELECT * FROM ({_DUP_DOCS}) WHERE doc_id < 40 OR doc_id >= 100000),
+toks AS ({_toks("SELECT doc_id, text FROM d")}),
+sh AS ({_shingles("SELECT * FROM toks")}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(i / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.5
+"""
+
+ORACLES["q20_brute_force_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),
+c AS (SELECT vec_id, emb FROM e WHERE vec_id >= 3),
+s AS (SELECT q.query_id, c.vec_id,
+             list_inner_product(c.emb, q.qv)
+               / (sqrt(list_inner_product(c.emb, c.emb)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+      FROM c CROSS JOIN q),
+r AS (SELECT query_id, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+      FROM s)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cos_r, rank FROM r WHERE rank <= 5
+"""
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(f"{x!r}" for x in p) + "]::DOUBLE[]"
+
+
+def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    terms = [
+        f"CASE WHEN list_inner_product({vec}, {_plane_sql(p)}) > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_PLANES = hyperplanes(64, 8, seed=7)
+
+ORACLES["q21_embedding_near_dup"] = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT * FROM e0 UNION ALL SELECT vec_id + 100000, v FROM e0 WHERE vec_id < 10),
+b AS (SELECT vec_id AS id, v, {_bucket_sql("v", _PLANES)} AS bucket FROM e),
+p AS (SELECT a.id AS id_a, b2.id AS id_b,
+             list_inner_product(a.v, b2.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b2.v, b2.v))) AS cos
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id)
+SELECT id_a, id_b, ROUND(cos, 5) AS cos_r FROM p WHERE cos >= 0.999
+"""
+
+_STOPLISTS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "es"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "une", "que", "sur"],
+}
+
+
+def _hits(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _STOPLISTS[lang])
+    return f"len(list_filter(toks, t -> list_contains([{lst}], t)))"
+
+
+ORACLES["q22_lang_id"] = f"""
+WITH toks AS ({_toks("SELECT doc_id, text FROM documents")}),
+scored AS (SELECT t.doc_id, {", ".join(f"{_hits(l)} AS h_{l}" for l in _STOPLISTS)},
+                  len(regexp_extract_all(d.text, '[一-鿿]')) > 0 AS cjk
+           FROM toks t JOIN documents d USING (doc_id)),
+pick AS (SELECT doc_id,
+  CASE WHEN cjk THEN 'zh'
+       WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+       WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+  FROM scored)
+SELECT lang_pred, COUNT(*) AS n_docs FROM pick GROUP BY lang_pred
+"""
+
+ORACLES["q23_quality_score"] = f"""
+WITH t AS (SELECT doc_id, text,
+                  list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+           FROM documents)
+SELECT doc_id,
+  CAST(CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN length(text) * 1.0 / greatest(len(toks), 1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN {_hits("en")} >= 2 THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality
+FROM t
+"""
+
+ORACLES["q24_token_counts"] = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), t -> t <> '')) AS INT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens_bpe
+FROM documents
+"""
+
+ORACLES["q25_fingerprints"] = f"""
+WITH toks AS ({_toks("SELECT doc_id, text FROM documents", "doc_id < 100")}),
+sh AS ({_shingles("SELECT * FROM toks")}),
+roll AS (SELECT doc_id, MIN(md5(sh)) AS rolling_fp FROM sh GROUP BY doc_id)
+SELECT d.doc_id, md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp, r.rolling_fp
+FROM documents d JOIN roll r USING (doc_id) WHERE d.doc_id < 100
+"""
+
+ORACLES["q26_windowed_events"] = """
+SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["q27_salted_skew_agg"] = """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+ORACLES["q28_extract_main_text"] = """
+WITH norm AS (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents)
+SELECT doc_id,
+       CAST(length(CASE WHEN length(t) >= 10 THEN t ELSE '' END) AS INT) AS n_chars,
+       CASE WHEN length(t) >= 10 THEN t ELSE '' END AS main_text
+FROM norm
+"""
+
+ORACLES["q31_tokens_to_grid"] = """
+WITH tok AS (SELECT l_orderkey AS doc_id,
+                    CAST((l_partkey % 12) * 25 + (l_suppkey % 8) AS BIGINT) AS top,
+                    CAST((l_suppkey % 30) * 20 AS BIGINT) AS "left",
+                    l_returnflag AS text
+             FROM lineitem WHERE l_orderkey < 500),
+sess AS (SELECT doc_id, top, "left", text,
+                SUM(CASE WHEN prev IS NULL THEN 0 WHEN top - prev > 20 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY top
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS row_idx
+         FROM (SELECT *, LAG(top) OVER (PARTITION BY doc_id ORDER BY top) AS prev FROM tok)),
+grid AS (SELECT doc_id, top, "left", text, CAST(row_idx AS BIGINT) AS row_idx,
+                CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, row_idx ORDER BY "left", top, text) - 1 AS INT) AS col_idx
+         FROM sess)
+SELECT doc_id, top, "left", text, row_idx, col_idx FROM grid
+"""

@@ -1,0 +1,229 @@
+"""Unit tests for the pure-SQL operator layer, on literal fixtures that
+mirror the reference's deterministic tests (SURVEY.md §5.1, FIXTURES.md §4-6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_tokens_to_grid_canonical_fixture(spark):
+    """The reference's 6-token clustering fixture
+    (/root/reference/tests/test_enhanced_table_ocr.py:132-157):
+    2 rows x 3 cells, x-sorted within rows."""
+    from ocr_text_recognition_spark.operators.sessionize import tokens_to_grid
+
+    toks = spark.createDataFrame(
+        [
+            ("d", "Subject", 50, 100),
+            ("d", "HK1", 200, 102),
+            ("d", "HK2", 350, 98),
+            ("d", "Math", 52, 150),
+            ("d", "8.5", 202, 148),
+            ("d", "9.0", 348, 152),
+        ],
+        "doc_id string, text string, left long, top long",
+    )
+    out = tokens_to_grid(toks, y_gap=20).orderBy("row_idx", "col_idx").collect()
+    grid = [(r["row_idx"], r["col_idx"], r["text"]) for r in out]
+    assert grid == [
+        (0, 0, "Subject"),
+        (0, 1, "HK1"),
+        (0, 2, "HK2"),
+        (1, 0, "Math"),
+        (1, 1, "8.5"),
+        (1, 2, "9.0"),
+    ]
+
+
+def test_is_numeric_truth_table(spark):
+    """The reference's _is_numeric truth table incl. '8,5' and '85%'
+    (/root/reference/tests/test_enhanced_table_ocr.py:221-232)."""
+    from ocr_text_recognition_spark.operators.textops import is_numeric, is_numeric_vi
+
+    df = spark.createDataFrame(
+        [("8.5",), ("8,5",), ("85%",), ("abc",), ("",), (" 7 ",), ("1,234.5",)],
+        "v string",
+    )
+    rows = df.select(
+        "v", is_numeric(F.col("v")).alias("n"), is_numeric_vi(F.col("v")).alias("nvi")
+    ).collect()
+    got = {r["v"]: (r["n"], r["nvi"]) for r in rows}
+    assert got["8.5"] == (True, True)
+    assert got["8,5"] == (True, True)  # ',' stripped -> 85; vi: 8.5
+    assert got["85%"] == (True, True)
+    assert got["abc"] == (False, False)
+    assert got[""] == (False, False)
+    assert got[" 7 "] == (True, True)
+    assert got["1,234.5"] == (True, False)  # vi: '1.234.5' unparsable
+
+
+def test_grade_cast_vietnamese_decimal(spark):
+    from ocr_text_recognition_spark.operators.textops import grade_cast
+
+    df = spark.createDataFrame([("8,5",), ("9.0",), ("abc",)], "v string")
+    got = [r[0] for r in df.select(grade_cast(F.col("v"))).collect()]
+    assert got == [8.5, 9.0, None]
+
+
+def test_metadata_extraction(spark):
+    from ocr_text_recognition_spark.operators.textops import extract_metadata
+
+    df = spark.createDataFrame(
+        [
+            ("Name: Alice Tran\nClass: 10A\nYear: 2025-2026",),
+            ("nothing relevant here",),
+        ],
+        "text string",
+    )
+    rows = df.select(extract_metadata(F.col("text")).alias("m")).collect()
+    m0, m1 = rows[0]["m"], rows[1]["m"]
+    assert m0["student_name"] == "Alice Tran"
+    assert m0["class_name"] == "10A"
+    assert m0["year"] == "2025-2026"
+    assert m0["school"] is None
+    assert all(v is None for v in m1.asDict().values())
+
+
+def test_header_inference_majority_rule(spark):
+    from ocr_text_recognition_spark.operators.tableops import header_score
+
+    cells = spark.createDataFrame(
+        [
+            # doc 'h': first row 2/3 text -> header
+            ("h", 0, 0, "Subject"), ("h", 0, 1, "HK1"), ("h", 0, 2, "Score"),
+            # doc 'n': first row 2/3 numeric -> no header
+            ("n", 0, 0, "1.5"), ("n", 0, 1, "2,5"), ("n", 0, 2, "x"),
+        ],
+        "doc_id string, row_idx int, col_idx int, value string",
+    )
+    got = {r["doc_id"]: r["has_header"] for r in header_score(cells).collect()}
+    # 'HK1' strips to 'HK1' -> non-numeric; 'Score' non-numeric; 'Subject' non-numeric
+    assert got == {"h": True, "n": False}
+
+
+def test_pad_rows(spark):
+    from ocr_text_recognition_spark.operators.tableops import pad_rows
+
+    rows = spark.createDataFrame(
+        [("d", 0, ["a", "b", "c"]), ("d", 1, ["x"])],
+        "doc_id string, row_idx int, cells array<string>",
+    )
+    got = {r["row_idx"]: r["cells"] for r in pad_rows(rows).collect()}
+    assert got[0] == ["a", "b", "c"]
+    assert got[1] == ["x", "", ""]
+
+
+def test_exact_dedup(spark):
+    from ocr_text_recognition_spark.operators.dedup import exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unique text")],
+        "id long, text string",
+    )
+    (g,) = exact_dup_groups(df, "id", "text").collect()
+    assert g["dup_count"] == 2 and g["keep_id"] == 1
+
+
+def test_minhash_identical_docs_match(spark):
+    from ocr_text_recognition_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different content about spark engines here"),
+        ],
+        "id long, text string",
+    )
+    sigs = minhash_signatures(df, "id", "text", num_perm=8)
+    pairs = lsh_candidate_pairs(sigs, num_perm=8, bands=4).collect()
+    assert [(p["id_a"], p["id_b"], p["est_jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_ngram_jaccard_exact(spark):
+    from ocr_text_recognition_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z z z z z")],
+        "id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_similar_docs_close(spark):
+    from ocr_text_recognition_spark.operators.dedup import simhash16
+
+    base = "spark engine query plan optimizer shuffle partition stage task executor " * 4
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " one extra token"),
+            (3, "cooking recipes with tomato basil olive oil pasta garlic onion " * 4),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["simhash"] for r in simhash16(df, "id", "text").collect()}
+    ham12 = bin(got[1] ^ got[2]).count("1")
+    ham13 = bin(got[1] ^ got[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_brute_force_topk_finds_self(spark):
+    from ocr_text_recognition_spark.operators.similarity import brute_force_topk
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.05, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    out = brute_force_topk(emb, q, k=2).orderBy("rank").collect()
+    assert out[0]["vec_id"] == 0 and out[0]["rank"] == 1
+    assert out[1]["vec_id"] == 1
+
+
+def test_lang_id_and_quality(spark):
+    from ocr_text_recognition_spark.operators.textanalysis import lang_id, quality_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it was there for sale that day"),
+            (2, "der hund ist nicht mit der katze und von zu hause"),
+            (3, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+    q = {r["id"]: r["q"] for r in df.select("id", quality_score(F.col("text")).alias("q")).collect()}
+    assert q[1] == 1.0  # long enough, alpha, word len, stopwords
+    assert q[3] < 0.75
+
+
+def test_image_metadata_multimodal(spark):
+    from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+    from ocr_text_recognition_spark.kernel import render
+    from ocr_text_recognition_spark.kernel.imgcodec import encode_image
+    from ocr_text_recognition_spark.operators.multimodal import image_metadata, resize_images
+    import pandas as pd
+
+    img = render.render_text_image(["HELLO"])
+    media_pd = pd.DataFrame(
+        [
+            {"media_ref": "ok", "content": encode_image(img)},
+            {"media_ref": "bad", "content": b"corrupt"},
+        ]
+    )
+    media = pandas_to_spark(spark, media_pd, "media")
+    meta = {r["media_ref"]: r for r in image_metadata(media).collect()}
+    assert meta["ok"]["valid"] and meta["ok"]["height"] == img.shape[0]
+    assert not meta["bad"]["valid"] and meta["bad"]["height"] is None
+    rs = {r["media_ref"]: r["content"] for r in resize_images(media, max_side=16).collect()}
+    assert rs["bad"] is None
+    from ocr_text_recognition_spark.kernel.imgcodec import decode_image
+
+    small = decode_image(bytes(rs["ok"]))
+    assert max(small.shape) <= 32  # block-mean factor rounding keeps it near max_side
