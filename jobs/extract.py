@@ -1,0 +1,57 @@
+"""spark-submit job entry (north star: 'packaged for spark-submit --py-files').
+
+    zip -r engine.zip ocr_text_recognition_spark
+    spark-submit --py-files engine.zip jobs/extract.py \
+        --docs  s3://.../documents   (parquet/Iceberg path: doc_id, spans) \
+        --media s3://.../media       (media_ref, content) \
+        --out   s3://.../extracted \
+        --ledger s3://.../ledger \
+        [--resume] [--n-buckets 4096] [--n-salt 16]
+
+Resumes idempotently from the bucket ledger when --resume is set.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--media", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--ledger", required=True)
+    ap.add_argument("--metrics", default=None)
+    ap.add_argument("--n-buckets", type=int, default=256)
+    ap.add_argument("--buckets-per-wave", type=int, default=8)
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args()
+
+    from ocr_text_recognition_spark.extraction.checkpoint import run_with_checkpoints
+    from ocr_text_recognition_spark.extraction.metrics import partition_metrics
+    from ocr_text_recognition_spark.session import get_spark
+
+    spark = get_spark("extract_job")
+    docs = spark.read.parquet(args.docs)
+    media = spark.read.parquet(args.media)
+    processed = run_with_checkpoints(
+        spark,
+        docs,
+        media,
+        out_dir=args.out,
+        ledger_dir=args.ledger,
+        n_buckets=args.n_buckets,
+        buckets_per_wave=args.buckets_per_wave,
+        run_id=args.run_id,
+    )
+    print(f"processed buckets: {processed}")
+    if args.metrics:
+        out = spark.read.parquet(args.out)
+        partition_metrics(out, run_id=args.run_id or "job").write.mode("append").parquet(
+            args.metrics
+        )
+
+
+if __name__ == "__main__":
+    main()

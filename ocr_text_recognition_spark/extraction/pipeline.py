@@ -54,15 +54,26 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def recognize_distinct_media(spans_media: DataFrame, media: DataFrame) -> DataFrame:
+def recognize_distinct_media(
+    spans_media: DataFrame, media: DataFrame, parallelism: int | None = None
+) -> DataFrame:
     """(media_ref) -> (media_ref, text): run the kernel once per distinct ref.
 
     The distinct() is the map-side-combine analog for the expensive UDF —
     popular images (shared headers, logos, re-hosted scans) are recognized
     once regardless of how many spans reference them.
+
+    The explicit repartition after distinct() is load-bearing: the ref list
+    is bytes-tiny but each ref costs real kernel CPU, so AQE's
+    byte-size-based partition coalescing would collapse the UDF stage onto
+    one task. Partitions here must be sized by COMPUTE, not bytes.
     """
+    if parallelism is None:
+        parallelism = spans_media.sparkSession.sparkContext.defaultParallelism * 2
     distinct_refs = spans_media.select("media_ref").distinct()
-    payloads = distinct_refs.join(media, "media_ref", "left")
+    # Repartition the payloads (post-join, pre-UDF) so the fan-out holds for
+    # every join strategy AQE might pick.
+    payloads = distinct_refs.join(media, "media_ref", "left").repartition(parallelism)
     return payloads.select(
         "media_ref",
         recognize_media_udf(F.col("content")).alias("text"),
@@ -107,12 +118,27 @@ def run_extraction(
     docs: DataFrame,
     media: DataFrame,
     n_salt: int = DEFAULT_N_SALT,
+    persist_media_locators: bool = True,
+    input_partitions: int | None = None,
 ) -> DataFrame:
     """Full pipeline: documents + media -> extracted documents.
 
     Returns a DataFrame with the same (doc_id, spans) shape as the input,
     where every span's text has been replaced by its extraction result.
+
+    ``persist_media_locators``: the media-span locator frame (doc_id,
+    media_ref, offset — NO payloads, so it is tiny relative to the corpus)
+    feeds two consumers (the distinct-ref recognition input and the
+    join-back); caching it keeps the documents table at two scans instead
+    of three. Disable if even the locator set exceeds cluster cache+disk.
+
+    ``input_partitions``: explicit doc_id-hash repartition of the input
+    (the SURVEY §3.4 'repartition by salted doc_id hash' stage). Leave None
+    when the source is already well-split (bucketed Iceberg / many files);
+    set it when reading few fat files so the UDF stages fan out.
     """
+    if input_partitions:
+        docs = docs.repartition(input_partitions, "doc_id")
     spans = explode_spans(docs)
 
     spans_text = spans.filter(F.col("kind") == "text").select(
@@ -126,6 +152,8 @@ def run_extraction(
     spans_media = spans.filter(F.col("kind") == "media").select(
         "doc_id", "kind", "media_ref", "offset"
     )
+    if persist_media_locators:
+        spans_media = spans_media.persist()
     media_text = recognize_distinct_media(spans_media, media)
     spans_media_out = spans_media.join(media_text, "media_ref", "left").select(
         "doc_id",

@@ -67,5 +67,8 @@ def write_corpus_parquet(docs: pd.DataFrame, media: pd.DataFrame, out_dir: str) 
             "content": pa.array(media["content"], pa.binary()),
         }
     )
-    pq.write_table(docs_tbl, f"{out_dir}/documents.parquet")
-    pq.write_table(media_tbl, f"{out_dir}/media.parquet")
+    # Small row groups so Spark's file-split planning can parallelize the
+    # scan (a single giant row group = a single task, no matter the core
+    # count — the scale path reads many files, this mimics that).
+    pq.write_table(docs_tbl, f"{out_dir}/documents.parquet", row_group_size=max(len(docs) // 64, 16))
+    pq.write_table(media_tbl, f"{out_dir}/media.parquet", row_group_size=max(len(media) // 64, 16))

@@ -27,6 +27,18 @@ import numpy as np
 DESKEW_SEARCH_SLOPES = tuple(range(-120, 125, 5))
 
 
+def rotate90_if_portrait(img: np.ndarray) -> np.ndarray:
+    """Rotate 90 deg clockwise iff height > width — the reference's
+    orientation heuristic for photographed documents
+    (/root/reference/src/model/ocr_model.py:66-68). Exposed as a standalone
+    kernel but NOT wired into the default chain: the synthetic corpus
+    renders true text geometry, where a tall multi-line page is legitimate
+    and rotating it would be wrong; photo-capture deployments opt in."""
+    if img.shape[0] > img.shape[1]:
+        return np.rot90(img, k=-1).copy()
+    return img
+
+
 def to_grayscale(img: np.ndarray) -> np.ndarray:
     """HxWx3 BGR (or HxW) uint8 -> HxW uint8 grayscale (BT.601 weights)."""
     if img.ndim == 2:
@@ -43,24 +55,30 @@ def _gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
 
 
 def _conv1d_axis(img: np.ndarray, kernel: np.ndarray, axis: int) -> np.ndarray:
+    # float32 + in-place accumulation: the blur touches the full image (the
+    # kernel's largest arrays), so halving the bytes moved matters for
+    # many-core scaling (executors are memory-bandwidth-bound, not FLOP-bound)
     half = len(kernel) // 2
     pad = [(0, 0), (0, 0)]
     pad[axis] = (half, half)
-    padded = np.pad(img, pad, mode="edge").astype(np.float64)
-    out = np.zeros(img.shape, dtype=np.float64)
+    padded = np.pad(img, pad, mode="edge")
+    out = np.zeros(img.shape, dtype=np.float32)
+    tmp = np.empty(img.shape, dtype=np.float32)
     for i, kv in enumerate(kernel):
         sl = [slice(None), slice(None)]
         sl[axis] = slice(i, i + img.shape[axis])
-        out += kv * padded[tuple(sl)]
+        np.multiply(padded[tuple(sl)], np.float32(kv), out=tmp)
+        out += tmp
     return out
 
 
 def gaussian_blur(img: np.ndarray, ksize: int = 5, sigma: float = 1.0) -> np.ndarray:
     """Separable 2-D Gaussian, edge-padded (cv2 BORDER_REPLICATE analog)."""
-    k = _gaussian_kernel1d(ksize, sigma)
-    out = _conv1d_axis(img.astype(np.float64), k, 0)
+    k = _gaussian_kernel1d(ksize, sigma).astype(np.float32)
+    out = _conv1d_axis(img.astype(np.float32), k, 0)
     out = _conv1d_axis(out, k, 1)
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    np.rint(out, out=out)
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def otsu_threshold(img: np.ndarray) -> int:
@@ -99,6 +117,22 @@ def otsu_binarize(img: np.ndarray) -> np.ndarray:
     if float(light.mean()) - float(dark.mean()) < MIN_CLASS_SEPARATION:
         return np.zeros_like(img, dtype=np.uint8)
     return (img <= t).astype(np.uint8)
+
+
+SHARPEN_KERNEL = np.array([[-1, -1, -1], [-1, 9, -1], [-1, -1, -1]], dtype=np.float64)
+
+
+def sharpen(img: np.ndarray) -> np.ndarray:
+    """3x3 sharpen filter (reference filter2D kernel,
+    /root/reference/src/services/table_ocr_service.py:112-126)."""
+    padded = np.pad(img.astype(np.float64), 1, mode="edge")
+    out = np.zeros(img.shape, dtype=np.float64)
+    for dy in range(3):
+        for dx in range(3):
+            out += SHARPEN_KERNEL[dy, dx] * padded[
+                dy : dy + img.shape[0], dx : dx + img.shape[1]
+            ]
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def median3(mask: np.ndarray) -> np.ndarray:

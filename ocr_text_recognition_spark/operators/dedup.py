@@ -66,7 +66,13 @@ def lsh_candidate_pairs(
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
-    banded = signatures.select("id", *[F.col(f"mh_{i}") for i in range(num_perm)], *band_keys)
+    # The signature computation (shingle explode + k-way min agg) feeds BOTH
+    # sides of the self-join; persist it so the lineage runs once. At real
+    # scale you materialize signatures to a table between the two jobs —
+    # persist is the in-session analog.
+    banded = signatures.select(
+        "id", *[F.col(f"mh_{i}") for i in range(num_perm)], *band_keys
+    ).persist()
     stacked = banded.select(
         "id",
         *[F.col(f"mh_{i}") for i in range(num_perm)],

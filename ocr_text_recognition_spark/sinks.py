@@ -1,0 +1,73 @@
+"""Terminal sinks (SURVEY.md §2.1) — one interface over the reference's
+export paths:
+
+- text sink        <- save_text_to_file (/root/reference/src/services/file_service.py:32-56)
+- CSV sink         <- export_to_csv (table_ocr_service.py:489-506), UTF-8, header
+- JSON sink        <- export_to_json records (table_ocr_service.py:508-525)
+- grades JSON sink <- export_to_json_format (enhanced_table_ocr_service.py:595-617)
+- TSV (clipboard)  <- dataframe_to_clipboard_format (table_ocr_service.py:555-565)
+- Excel edge sink  <- export_to_excel (table_ocr_service.py:527-553): no native
+  Spark writer; collected per-doc results go through pandas (documented edge
+  sink, only valid for dimension-sized outputs)
+- parquet/output   <- the engine's own scale path (partitioned, overwritable)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_text(df: DataFrame, path: str, text_col: str = "text") -> None:
+    df.select(F.col(text_col).cast("string")).write.mode("overwrite").text(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("encoding", "UTF-8")
+        .csv(path)
+    )
+
+
+def write_tsv(df: DataFrame, path: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", "\t")
+        .csv(path)
+    )
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def write_grades_json(cells_long: DataFrame, path: str) -> None:
+    """Nested {grades:[{subject, grades:[...]}]} documents, one JSON text
+    line per doc (the reference's grades document shape, D7)."""
+    from ocr_text_recognition_spark.operators.tableops import grades_json
+
+    grades_json(cells_long).select("grades_json").write.mode("overwrite").text(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by).option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
+
+
+def to_excel_edge(df: DataFrame, path: str, max_rows: int = 100_000) -> bool:
+    """Edge sink: collect to pandas and write xlsx IF an engine exists.
+    Returns False (and writes nothing) when openpyxl is unavailable or the
+    result is too large — never a hard dependency."""
+    if df.limit(max_rows + 1).count() > max_rows:
+        return False
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        return False
+    df.toPandas().to_excel(path, index=False)
+    return True

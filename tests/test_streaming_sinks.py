@@ -1,0 +1,83 @@
+"""Streaming incremental extraction + sink round-trips."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from ocr_text_recognition_spark.io_pandas import pandas_to_spark, write_corpus_parquet
+
+
+def test_stream_extraction_available_now(spark, small_corpus, tmp_path):
+    from ocr_text_recognition_spark.streaming.incremental import stream_extraction
+
+    docs_pd, media_pd, golden_pd = small_corpus
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    # two arrival batches
+    write_corpus_parquet(docs_pd.iloc[:15], media_pd, str(docs_dir))
+    (docs_dir / "media.parquet").unlink()
+    write_corpus_parquet(docs_pd.iloc[15:].reset_index(drop=True), media_pd, str(tmp_path))
+    (tmp_path / "documents.parquet").rename(docs_dir / "documents2.parquet")
+
+    media = pandas_to_spark(spark, media_pd, "media")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_extraction(spark, str(docs_dir), media, out_dir, ckpt)
+    q.awaitTermination(120)
+    time.sleep(0.5)
+
+    result = spark.read.parquet(out_dir)
+    assert result.select("doc_id").distinct().count() == len(docs_pd)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in result.collect()
+    }
+    want = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for _, r in golden_pd.iterrows()
+    }
+    assert got == want
+
+
+def test_windowed_event_counts_batch_equivalence(spark):
+    """The streaming aggregation expression, applied to a bounded frame,
+    must equal the plain batch aggregation."""
+    from ocr_text_recognition_spark.streaming.incremental import windowed_event_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    streamed_expr = windowed_event_counts(ev)  # same expressions, batch input
+    batch = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    a = {tuple(r) for r in streamed_expr.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    from ocr_text_recognition_spark import sinks
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5)], "id long, name string, v double"
+    )
+    sinks.write_csv(df, str(tmp_path / "csv"))
+    back = spark.read.option("header", True).csv(str(tmp_path / "csv"))
+    assert back.count() == 2 and set(back.columns) == {"id", "name", "v"}
+
+    sinks.write_json(df, str(tmp_path / "json"))
+    assert spark.read.json(str(tmp_path / "json")).count() == 2
+
+    sinks.write_tsv(df, str(tmp_path / "tsv"))
+    assert spark.read.option("sep", "\t").option("header", True).csv(str(tmp_path / "tsv")).count() == 2
+
+    sinks.write_text(df.select(F.col("name")), str(tmp_path / "txt"), "name")
+    assert {r[0] for r in spark.read.text(str(tmp_path / "txt")).collect()} == {"alpha", "beta"}
+
+    cells = spark.createDataFrame(
+        [("d", 0, 0, "Subject"), ("d", 0, 1, "HK1"), ("d", 1, 0, "Math"), ("d", 1, 1, "8,5")],
+        "doc_id string, row_idx int, col_idx int, value string",
+    )
+    sinks.write_grades_json(cells, str(tmp_path / "grades"))
+    line = spark.read.text(str(tmp_path / "grades")).collect()[0][0]
+    assert '"subject":"Math"' in line and "8.5" in line
