@@ -262,7 +262,14 @@ def q11_row_padding(spark, sf_dir):
     padded = pad_rows(rows)
     return padded.select(
         "doc_id", "row_idx", F.posexplode("cells").alias("col_idx", "value")
-    ).select("doc_id", "row_idx", F.col("col_idx").cast("int").alias("col_idx"), "value")
+    ).select(
+        "doc_id",
+        "row_idx",
+        F.col("col_idx").cast("int").alias("col_idx"),
+        "value",
+        # synthetic Column_{i} names (reference table_ocr_service.py:313)
+        F.concat(F.lit("Column_"), (F.col("col_idx") + 1).cast("string")).alias("col_name"),
+    )
 
 
 def q12_grades_rows(spark, sf_dir):
@@ -507,6 +514,82 @@ def q31_tokens_to_grid(spark, sf_dir):
     )
 
 
+def q32_interval_join(spark, sf_dir):
+    """Range-containment join (the reference's cell<->pixel-region join,
+    SURVEY.md §2.3): tokens fall into grid cells by coordinate interval."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    tokens = li.select(
+        F.col("l_orderkey").alias("tok_id"),
+        (F.pmod("l_partkey", F.lit(100)) * 7 + F.pmod("l_suppkey", F.lit(7))).alias("x"),
+        (F.pmod("l_suppkey", F.lit(100)) * 5 + F.pmod("l_partkey", F.lit(5))).alias("y"),
+    ).distinct()
+    cells = spark.range(0, 49).select(
+        F.col("id").alias("cell_id"),
+        (F.pmod("id", F.lit(7)) * 100).alias("left"),
+        ((F.pmod("id", F.lit(7)) + 1) * 100).alias("right"),
+        ((F.col("id") / 7).cast("long") * 72).alias("top"),
+        (((F.col("id") / 7).cast("long") + 1) * 72).alias("bottom"),
+    )
+    joined = tokens.join(
+        F.broadcast(cells),
+        (F.col("x") >= F.col("left"))
+        & (F.col("x") < F.col("right"))
+        & (F.col("y") >= F.col("top"))
+        & (F.col("y") < F.col("bottom")),
+    )
+    return joined.groupBy("cell_id").agg(
+        F.count("*").alias("n_tokens"), F.sum("x").alias("sum_x")
+    )
+
+
+def q33_grades_json(spark, sf_dir):
+    """Grades-document JSON assembly (D7). JSON text formatting differs
+    between engines -> rows-only driver check."""
+    from ocr_text_recognition_spark.operators.tableops import grades_json
+
+    return grades_json(_cells(spark, sf_dir))
+
+
+def q34_sorted_distinct_coords(spark, sf_dir):
+    """sorted(set(coords)) per group (reference grid-coordinate extraction,
+    enhanced_table_ocr_service.py:195-197) via array_sort(array_distinct)."""
+    ev = _t(spark, sf_dir, "events")
+    coords = ev.groupBy("event_type").agg(
+        F.array_sort(F.array_distinct(F.collect_list(F.floor(F.col("value")).cast("long")))).alias("cs")
+    )
+    return coords.select(
+        "event_type", F.posexplode("cs").alias("pos", "coord")
+    ).select("event_type", F.col("pos").cast("int").alias("pos"), "coord")
+
+
+def q35_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k (bucketed candidates, exact rerank)."""
+    from ocr_text_recognition_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb.filter(F.col("vec_id") >= 5), queries_df, dim=64, k=3)
+    return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos_r"), "rank")
+
+
+def q36_cer(spark, sf_dir):
+    """Character-error-rate metric (JVM levenshtein) between two derived
+    text columns — the extraction-quality metric of the north star."""
+    docs = _t(spark, sf_dir, "documents")
+    a = F.col("text")
+    b = F.regexp_replace(F.col("text"), "a", "x")  # deterministic corruption
+    return docs.select(
+        "doc_id",
+        F.round(
+            F.levenshtein(a, b) / F.greatest(F.length(a), F.lit(1)), 6
+        ).alias("cer"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -540,6 +623,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_extraction_pipeline": q29_extraction_pipeline,
         "q30_image_metadata": q30_image_metadata,
         "q31_tokens_to_grid": q31_tokens_to_grid,
+        "q32_interval_join": q32_interval_join,
+        "q33_grades_json": q33_grades_json,
+        "q34_sorted_distinct_coords": q34_sorted_distinct_coords,
+        "q35_lsh_topk": q35_lsh_topk,
+        "q36_cer": q36_cer,
     }
 
 

@@ -166,7 +166,8 @@ widths AS (SELECT doc_id, row_idx, COUNT(*) AS w FROM base GROUP BY 1, 2),
 maxw AS (SELECT doc_id, MAX(w) AS mw FROM widths GROUP BY 1),
 slots AS (SELECT w.doc_id, w.row_idx, CAST(unnest(generate_series(0, m.mw - 1)) AS INT) AS col_idx
           FROM widths w JOIN maxw m USING (doc_id))
-SELECT s.doc_id, s.row_idx, s.col_idx, COALESCE(r.value, '') AS value
+SELECT s.doc_id, s.row_idx, s.col_idx, COALESCE(r.value, '') AS value,
+       'Column_' || CAST(s.col_idx + 1 AS VARCHAR) AS col_name
 FROM slots s LEFT JOIN ranked r USING (doc_id, row_idx, col_idx)
 """
 
@@ -384,4 +385,47 @@ grid AS (SELECT doc_id, top, "left", text, CAST(row_idx AS BIGINT) AS row_idx,
                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, row_idx ORDER BY "left", top, text) - 1 AS INT) AS col_idx
          FROM sess)
 SELECT doc_id, top, "left", text, row_idx, col_idx FROM grid
+"""
+
+
+ORACLES["q32_interval_join"] = """
+WITH tokens AS (SELECT DISTINCT l_orderkey AS tok_id,
+                       (l_partkey % 100) * 7 + (l_suppkey % 7) AS x,
+                       (l_suppkey % 100) * 5 + (l_partkey % 5) AS y
+                FROM lineitem WHERE l_orderkey < 300),
+cells AS (SELECT i AS cell_id, (i % 7) * 100 AS "left", ((i % 7) + 1) * 100 AS "right",
+                 (i // 7) * 72 AS top, ((i // 7) + 1) * 72 AS bottom
+          FROM (SELECT unnest(generate_series(0, 48)) AS i))
+SELECT cell_id, COUNT(*) AS n_tokens, CAST(SUM(x) AS BIGINT) AS sum_x
+FROM tokens JOIN cells ON x >= "left" AND x < "right" AND y >= top AND y < bottom
+GROUP BY cell_id
+"""
+
+ORACLES["q34_sorted_distinct_coords"] = """
+SELECT event_type,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY coord) - 1 AS INT) AS pos,
+       coord
+FROM (SELECT DISTINCT event_type, CAST(FLOOR(value) AS BIGINT) AS coord FROM events)
+"""
+
+ORACLES["q35_lsh_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql("v", _PLANES)} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+c AS (SELECT vec_id, v, bucket FROM b WHERE vec_id >= 5),
+s AS (SELECT q.query_id, c.vec_id,
+             list_inner_product(c.v, q.qv)
+               / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+      FROM c JOIN q ON c.bucket = q.bucket),
+r AS (SELECT query_id, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+      FROM s)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cos_r, rank FROM r WHERE rank <= 3
+"""
+
+ORACLES["q36_cer"] = """
+SELECT doc_id,
+       ROUND(levenshtein(text, regexp_replace(text, 'a', 'x', 'g'))
+             / greatest(length(text), 1), 6) AS cer
+FROM documents
 """

@@ -18,6 +18,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+VALID_IMAGE_EXTENSIONS = ("png", "jpg", "jpeg", "bmp", "tiff", "img1")
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    extensions: tuple[str, ...] = VALID_IMAGE_EXTENSIONS,
+) -> DataFrame:
+    """Directory of image files -> (media_ref, content) via the binaryFile
+    source — the distributed analog of the reference's image file scan +
+    extension-validation filter (/root/reference/src/model/ocr_model.py:33-53,
+    /root/reference/src/services/file_service.py:103-114). media_ref = file
+    name stem; existence is implicit in the scan."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("binaryFile").option("pathGlobFilter", "*.*").load(path)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([^./\\]+)$", 1))
+    return (
+        df.filter(ext.isin(*extensions))
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/\\]+)\.[^./\\]+$", 1).alias("media_ref"),
+            F.col("content"),
+        )
+    )
+
+
+def dump_debug_images(media: DataFrame, out_dir: str, sample_fraction: float = 0.01) -> int:
+    """Diagnostic image sink (reference demo writes intermediate PNGs,
+    /root/reference/demo_enhanced_table_ocr.py:70-108): collect a SAMPLED
+    subset of payloads to files — debug artifacts only, never unsampled at
+    scale. Returns number of files written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    sampled = media.sample(fraction=sample_fraction, seed=7).collect()
+    for r in sampled:
+        with open(os.path.join(out_dir, f"{r['media_ref']}.img1"), "wb") as f:
+            f.write(bytes(r["content"]))
+    return len(sampled)
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")

@@ -1,0 +1,85 @@
+"""Property-based kernel invariants (hypothesis) — the reference has no
+property tests (SURVEY.md §5.1); these pin the round-trip guarantees the
+span-equality contract rests on."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_text_recognition_spark.extraction.html import extract_main_text
+from ocr_text_recognition_spark.kernel import font, reference_kernel, render
+from ocr_text_recognition_spark.kernel.imgcodec import decode_image, encode_image
+
+# Words over the renderable charset (no spaces inside a word).
+_word = st.text(
+    alphabet=st.sampled_from(font.GLYPHS),
+    min_size=1,
+    max_size=8,
+)
+_line = st.lists(_word, min_size=1, max_size=4).map(" ".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(lines=st.lists(_line, min_size=1, max_size=3))
+def test_render_recognize_roundtrip(lines):
+    img = render.render_text_image(lines)
+    got = reference_kernel.recognize_media_bytes(encode_image(img))
+    want = "\n".join(font.renderable(ln) for ln in lines)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lines=st.lists(_line, min_size=1, max_size=2),
+    slope=st.sampled_from(render.SKEW_SLOPES_MILLI),
+)
+def test_shear_invariant_roundtrip(lines, slope):
+    img = render.shear_image(render.render_text_image(lines), slope)
+    got = reference_kernel.recognize_media_bytes(encode_image(img))
+    assert got == "\n".join(font.renderable(ln) for ln in lines)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31),
+)
+def test_codec_roundtrip_any_image(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_image(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(text=st.text(max_size=300))
+def test_extract_main_text_total(text):
+    # never raises, never returns None, idempotent on its own output
+    out = extract_main_text(text)
+    assert isinstance(out, str)
+    if "<" not in out:
+        assert extract_main_text(out) == out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    coords=st.lists(st.integers(0, 10000), min_size=1, max_size=60),
+    gap=st.integers(1, 50),
+)
+def test_merge_1d_matches_bruteforce(coords, gap):
+    from ocr_text_recognition_spark.kernel.segment import merge_1d
+
+    got = merge_1d(np.array(coords), gap)
+    # brute-force reference: walk sorted coords, split on gap, mean per run
+    xs = sorted(coords)
+    runs, cur = [], [xs[0]]
+    for a, b in zip(xs, xs[1:]):
+        if b - a > gap:
+            runs.append(cur)
+            cur = []
+        cur.append(b)
+    runs.append(cur)
+    want = [int(round(sum(r) / len(r))) for r in runs]
+    assert got == want
