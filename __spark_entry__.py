@@ -543,8 +543,9 @@ def q32_interval_join(spark, sf_dir):
 
 
 def q33_grades_json(spark, sf_dir):
-    """Grades-document JSON assembly (D7). JSON text formatting differs
-    between engines -> rows-only driver check."""
+    """Grades-document JSON assembly (D7). Spark to_json and DuckDB to_json
+    both emit compact JSON with identical double formatting, so the oracle
+    check is byte-exact on the JSON string."""
     from ocr_text_recognition_spark.operators.tableops import grades_json
 
     return grades_json(_cells(spark, sf_dir))
@@ -590,6 +591,23 @@ def q36_cer(spark, sf_dir):
     )
 
 
+def q37_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: deterministic coarse quantizer (vec_id%50
+    centroids), shuffle-free nearest-centroid assignment, n_probe=2 probe
+    lists, exact cosine rerank. The IVF counterpart of q35's LSH path."""
+    from ocr_text_recognition_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    cents = ivf_centroids(emb, mod=50)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb.filter(F.col("vec_id") >= 5), queries_df, cents, k=3, n_probe=2)
+    return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos_r"), "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -628,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_sorted_distinct_coords": q34_sorted_distinct_coords,
         "q35_lsh_topk": q35_lsh_topk,
         "q36_cer": q36_cer,
+        "q37_ivf_topk": q37_ivf_topk,
     }
 
 

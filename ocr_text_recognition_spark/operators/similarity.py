@@ -9,8 +9,12 @@
 
 At 100 TB the brute-force path is only for re-ranking candidates; the
 signature computation is a narrow map and the bucket join shuffles on the
-signature key. An IVF variant would replace hyperplanes with k-means
-centroids — same join shape.
+signature key.
+- IVF variant: a coarse quantizer (driver-known centroid list, the shape a
+  k-means output has) assigns every corpus vector to its nearest centroid
+  with a shuffle-free fold over a literal centroid array; queries probe the
+  n_probe nearest lists and candidates are exact-reranked. The only
+  shuffle is the per-query top-k window.
 """
 
 from __future__ import annotations
@@ -98,6 +102,97 @@ def lsh_topk(
         ).withColumn("bucket", lsh_signature(F.col("q_vec"), planes))
     )
     scored = e.join(q, "bucket").select(
+        query_id_col, id_col, cosine(F.col(vec_col), F.col("q_vec")).alias("cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame, mod: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer centroids: the embeddings whose id is
+    ≡ 0 (mod `mod`), ordered by id. Stands in for a k-means codebook — in
+    production the codebook is likewise a small driver-known list trained
+    offline; only its contents change, not the plan shape."""
+    rows = (
+        embeddings.filter((F.col(id_col) % mod) == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def _nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Argmax-cosine centroid id via a fold over a literal centroid array —
+    a narrow JVM-side projection (no join, no shuffle) per corpus vector.
+    Ties keep the lowest centroid id (centroids are fed in id order and only
+    a strictly greater cosine replaces the accumulator)."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in v]).alias("v"),
+                F.lit(float(np.sqrt(sum(x * x for x in v)))).alias("nrm"),
+            )
+            for cid, v in centroids
+        ]
+    )
+    vnrm = norm(vec)
+    best = F.aggregate(
+        carr,
+        F.struct(F.lit(-1).alias("cid"), F.lit(-2.0).alias("cos")),
+        lambda acc, c: F.when(
+            dot(vec, c["v"]) / (vnrm * c["nrm"]) > acc["cos"],
+            F.struct(
+                c["cid"].alias("cid"),
+                (dot(vec, c["v"]) / (vnrm * c["nrm"])).alias("cos"),
+            ),
+        ).otherwise(acc),
+    )
+    return best["cid"]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (narrow map); each query probes its `n_probe` nearest lists;
+    exact cosine reranks the probed candidates. Scale shape: assignment is
+    shuffle-free, the probe table is broadcast, and the only shuffle is the
+    per-query top-k window — O(corpus/`len(centroids)` × n_probe) scored
+    rows instead of O(corpus × queries)."""
+    spark = embeddings.sparkSession
+    cen = spark.createDataFrame(
+        [(cid, v) for cid, v in centroids], f"cid int, cv array<double>"
+    )
+    assigned = embeddings.withColumn("cid", _nearest_centroid(F.col(vec_col), centroids))
+
+    qc = queries.select(query_id_col, F.col(vec_col).alias("q_vec")).crossJoin(
+        F.broadcast(cen)
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc(cosine(F.col("q_vec"), F.col("cv"))), F.asc("cid")
+    )
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select(query_id_col, "q_vec", "cid")
+    )
+
+    scored = assigned.join(F.broadcast(probes), "cid").select(
         query_id_col, id_col, cosine(F.col(vec_col), F.col("q_vec")).alias("cos")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))

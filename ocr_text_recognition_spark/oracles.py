@@ -429,3 +429,54 @@ SELECT doc_id,
              / greatest(length(text), 1), 6) AS cer
 FROM documents
 """
+
+ORACLES["q37_ivf_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+asg0 AS (SELECT c.vec_id, c.v, cen.cid,
+                ROW_NUMBER() OVER (
+                  PARTITION BY c.vec_id
+                  ORDER BY list_inner_product(c.v, cen.cv)
+                             / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(cen.cv, cen.cv))) DESC,
+                           cen.cid ASC) AS rn
+         FROM corpus c CROSS JOIN cen),
+asg AS (SELECT vec_id, v, cid FROM asg0 WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probe0 AS (SELECT q.query_id, q.qv, cen.cid,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY list_inner_product(q.qv, cen.cv)
+                               / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(cen.cv, cen.cv))) DESC,
+                             cen.cid ASC) AS rn
+           FROM q CROSS JOIN cen),
+probe AS (SELECT query_id, qv, cid FROM probe0 WHERE rn <= 2),
+s AS (SELECT p.query_id, a.vec_id,
+             list_inner_product(a.v, p.qv)
+               / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(p.qv, p.qv))) AS cos
+      FROM asg a JOIN probe p ON a.cid = p.cid),
+r AS (SELECT query_id, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+      FROM s)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cos_r, rank FROM r WHERE rank <= 3
+"""
+
+# grades-document JSON (D7): Spark's to_json and DuckDB's to_json both emit
+# compact JSON with identical double formatting, so this is byte-exact.
+ORACLES["q33_grades_json"] = f"""
+WITH cells AS ({_CELLS}),
+subj AS (SELECT doc_id, row_idx, value AS subject FROM cells WHERE col_idx = 0 AND row_idx > 0),
+gr AS (SELECT doc_id, row_idx, col_idx,
+              TRY_CAST(regexp_replace(trim(value), ',', '.', 'g') AS DOUBLE) AS grade_num
+       FROM cells WHERE col_idx > 0 AND row_idx > 0),
+per_row AS (
+  SELECT s.doc_id, s.row_idx, s.subject,
+         list(g.grade_num ORDER BY g.col_idx) AS g
+  FROM subj s JOIN gr g USING (doc_id, row_idx)
+  GROUP BY s.doc_id, s.row_idx, s.subject),
+per_doc AS (
+  SELECT doc_id,
+         list({{'subject': subject, 'grades': g}} ORDER BY row_idx) AS rows_
+  FROM per_row GROUP BY doc_id)
+SELECT doc_id, CAST(to_json({{'grades': rows_}}) AS VARCHAR) AS grades_json FROM per_doc
+"""

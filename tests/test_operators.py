@@ -227,3 +227,43 @@ def test_image_metadata_multimodal(spark):
 
     small = decode_image(bytes(rs["ok"]))
     assert max(small.shape) <= 32  # block-mean factor rounding keeps it near max_side
+
+
+def test_ivf_topk_matches_brute_force_on_probed_lists(spark):
+    """IVF with enough probes to cover every centroid must equal brute
+    force exactly; with n_probe=1 results are a subset of brute force."""
+    import numpy as np
+
+    from ocr_text_recognition_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(8).round(3).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = emb.filter("vec_id >= 2")
+    queries = emb.filter("vec_id < 2").selectExpr("vec_id as query_id", "embedding")
+    cents = ivf_centroids(emb, mod=10)  # 4 centroids: 0,10,20,30
+
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in brute_force_topk(corpus, queries, k=3).collect()
+    }
+    full = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_topk(corpus, queries, cents, k=3, n_probe=len(cents)).collect()
+    }
+    assert full == exact  # probing all lists == brute force
+
+    approx = ivf_topk(corpus, queries, cents, k=3, n_probe=1).collect()
+    assert len(approx) > 0
+    exact_ids = set(exact.values())
+    # n_probe=1 results come from real corpus vectors with valid ranks
+    for r in approx:
+        assert r.rank in (1, 2, 3)
+        assert r.vec_id >= 2
+    # and at least one of each query's approximate hits is a true top-3 hit
+    hits = {r.query_id for r in approx if r.vec_id in exact_ids}
+    assert len(hits) >= 1

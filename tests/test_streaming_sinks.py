@@ -81,3 +81,57 @@ def test_sinks_roundtrip(spark, tmp_path):
     sinks.write_grades_json(cells, str(tmp_path / "grades"))
     line = spark.read.text(str(tmp_path / "grades")).collect()[0][0]
     assert '"subject":"Math"' in line and "8.5" in line
+
+
+def test_stateful_span_assembly_across_microbatches(spark, small_corpus, tmp_path):
+    """applyInPandasWithState: spans arriving in separate micro-batches are
+    held in per-doc state and emitted, offset-ordered, only once the doc's
+    eof marker arrives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_text_recognition_spark.streaming.stateful import assemble_spans_stream
+
+    docs_pd, _, _ = small_corpus
+    docs_pd = docs_pd.iloc[:8]
+    rows = []
+    for _, r in docs_pd.iterrows():
+        for s in r["spans"]:
+            rows.append((r["doc_id"], s["kind"], s["text"], s["media_ref"], s["offset"]))
+        rows.append((r["doc_id"], "eof", None, None, 2**30))
+
+    schema = pa.schema(
+        [("doc_id", pa.string()), ("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    in_dir = tmp_path / "spans_in"
+    in_dir.mkdir()
+    # batch 1: first half of every doc's spans (no eof); batch 2: the rest + eof
+    half = [r for r in rows if r[1] != "eof" and r[4] < 3]
+    rest = [r for r in rows if r not in half]
+    for name, chunk in (("b1.parquet", half), ("b2.parquet", rest)):
+        pq.write_table(pa.Table.from_arrays(
+            [pa.array([c[i] for c in chunk], schema.field(i).type) for i in range(5)],
+            schema=schema), str(in_dir / name))
+
+    stream = spark.readStream.schema(
+        "doc_id string, kind string, text string, media_ref string, offset int"
+    ).option("maxFilesPerTrigger", 1).parquet(str(in_dir))
+    out = assemble_spans_stream(stream)
+    q = (out.writeStream.format("memory").queryName("assembled")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in spark.sql("SELECT * FROM assembled").collect()
+    }
+    want = {
+        r["doc_id"]: sorted(
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]],
+            key=lambda t: t[3],
+        )
+        for _, r in docs_pd.iterrows()
+    }
+    assert got == want
