@@ -608,6 +608,43 @@ def q37_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos_r"), "rank")
 
 
+def q38_pdf_reading_order(spark, sf_dir):
+    """Relational twin of the PDF layout parse (extraction/pdflayout.py):
+    positioned text runs -> margin/fine-print filter -> y-gap line
+    sessionization -> reading-order line assembly. Pure Spark SQL; the UDF
+    path applies the identical stages inside Arrow batches."""
+    from ocr_text_recognition_spark.operators.sessionize import gap_sessionize
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    runs = ev.select(
+        F.pmod("user_id", F.lit(5)).cast("int").alias("page_id"),
+        F.col("event_id").alias("run_id"),
+        ((F.col("event_id") % 7) * 90 + 10).cast("long").alias("x"),
+        ((F.col("event_id") * 7 % 150) * 5 + 40).cast("long").alias("y"),
+        F.when(F.pmod("event_id", F.lit(11)) == 0, F.lit(4.0))
+        .otherwise(F.lit(11.0))
+        .alias("sz"),
+        F.col("event_type").alias("txt"),
+    )
+    body = runs.filter((F.col("y") >= 48) & (F.col("y") <= 744) & (F.col("sz") >= 6))
+    lined = gap_sessionize(body, ["page_id"], "y", gap=6, session_col="line_idx")
+    return (
+        lined.groupBy("page_id", F.col("line_idx").cast("int").alias("line_idx"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("x"), F.col("run_id"), F.col("txt")))
+                    ),
+                    lambda s: s["txt"],
+                ),
+                " ",
+            ).alias("line_text"),
+            F.min("y").alias("line_y"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -647,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_lsh_topk": q35_lsh_topk,
         "q36_cer": q36_cer,
         "q37_ivf_topk": q37_ivf_topk,
+        "q38_pdf_reading_order": q38_pdf_reading_order,
     }
 
 

@@ -8,6 +8,7 @@
                     join media on media_ref       distinct image ONCE]
                     recognize_media_udf
                     join results back
+           pdf   -> same distinct-ref shape, parse_pdf_layout_udf
       -> unionByName
       -> salted two-phase reassembly:            [explicit skew handling]
            groupBy(doc_id, salt) partial collect
@@ -34,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ocr_text_recognition_spark.extraction.udfs import (
     extract_main_text_udf,
+    parse_pdf_layout_udf,
     recognize_media_udf,
 )
 
@@ -55,7 +57,10 @@ def explode_spans(docs: DataFrame) -> DataFrame:
 
 
 def recognize_distinct_media(
-    spans_media: DataFrame, media: DataFrame, parallelism: int | None = None
+    spans_media: DataFrame,
+    media: DataFrame,
+    parallelism: int | None = None,
+    kernel_udf=recognize_media_udf,
 ) -> DataFrame:
     """(media_ref) -> (media_ref, text): run the kernel once per distinct ref.
 
@@ -76,7 +81,7 @@ def recognize_distinct_media(
     payloads = distinct_refs.join(media, "media_ref", "left").repartition(parallelism)
     return payloads.select(
         "media_ref",
-        recognize_media_udf(F.col("content")).alias("text"),
+        kernel_udf(F.col("content")).alias("text"),
     )
 
 
@@ -164,6 +169,21 @@ def run_extraction(
     )
 
     extracted = spans_text.unionByName(spans_media_out)
+
+    # kind='pdf': same distinct-ref shape as media, but through the layout
+    # parser instead of the OCR kernel (north rule: "PDF/layout parse").
+    spans_pdf = spans.filter(F.col("kind") == "pdf").select(
+        "doc_id", "kind", "media_ref", "offset"
+    )
+    pdf_text = recognize_distinct_media(spans_pdf, media, kernel_udf=parse_pdf_layout_udf)
+    spans_pdf_out = spans_pdf.join(pdf_text, "media_ref", "left").select(
+        "doc_id",
+        "kind",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "media_ref",
+        "offset",
+    )
+    extracted = extracted.unionByName(spans_pdf_out)
     return reassemble_spans(extracted, n_salt=n_salt)
 
 

@@ -27,19 +27,25 @@ def _engine():
         from ocr_text_recognition_spark.extraction import html
         from ocr_text_recognition_spark.kernel import reference_kernel
 
+        from ocr_text_recognition_spark.extraction import pdflayout
+
         # Warm the template caches so the first batch isn't an outlier.
         from ocr_text_recognition_spark.kernel.recognize import _exact_lookup, _template_tensor
 
         _template_tensor()
         _exact_lookup()
-        _ENGINE = (html.extract_main_text, reference_kernel.recognize_media_bytes)
+        _ENGINE = (
+            html.extract_main_text,
+            reference_kernel.recognize_media_bytes,
+            pdflayout.extract_pdf_text,
+        )
     return _ENGINE
 
 
 @pandas_udf(StringType())
 def extract_main_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """HTML-ish text span -> main content (boilerplate strip + text density)."""
-    extract, _ = _engine()
+    extract, _, _ = _engine()
     for s in batches:
         yield s.map(lambda x: extract(x) if x is not None else "")
 
@@ -48,6 +54,15 @@ def extract_main_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 def recognize_media_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """Media payload bytes -> recognized text (full preprocessing +
     segmentation + greedy decode per image, vectorized numpy inside)."""
-    _, recognize = _engine()
+    _, recognize, _ = _engine()
     for s in batches:
         yield s.map(lambda b: recognize(b) if b is not None else "")
+
+
+@pandas_udf(StringType())
+def parse_pdf_layout_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """PDF-ish page payload -> main text (furniture strip, fine-print drop,
+    y-gap line grouping, reading order — extraction/pdflayout.py)."""
+    _, _, parse_pdf = _engine()
+    for s in batches:
+        yield s.map(parse_pdf)

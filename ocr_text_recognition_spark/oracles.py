@@ -480,3 +480,25 @@ per_doc AS (
   FROM per_row GROUP BY doc_id)
 SELECT doc_id, CAST(to_json({{'grades': rows_}}) AS VARCHAR) AS grades_json FROM per_doc
 """
+
+# relational twin of the PDF layout parse: margin/fine-print filter,
+# y-gap line sessionize, reading-order assembly (x then run_id tie-break)
+ORACLES["q38_pdf_reading_order"] = """
+WITH runs AS (
+  SELECT CAST(user_id % 5 AS INT) AS page_id,
+         event_id AS run_id,
+         CAST((event_id % 7) * 90 + 10 AS BIGINT) AS x,
+         CAST((event_id * 7 % 150) * 5 + 40 AS BIGINT) AS y,
+         CASE WHEN event_id % 11 = 0 THEN 4.0 ELSE 11.0 END AS sz,
+         event_type AS txt
+  FROM events WHERE event_id < 2000),
+body AS (SELECT * FROM runs WHERE y >= 48 AND y <= 744 AND sz >= 6),
+lined AS (
+  SELECT *, CAST(SUM(CASE WHEN prev_y IS NOT NULL AND y - prev_y > 6 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY page_id ORDER BY y) AS INT) AS line_idx
+  FROM (SELECT *, LAG(y) OVER (PARTITION BY page_id ORDER BY y) AS prev_y FROM body))
+SELECT page_id, line_idx,
+       string_agg(txt, ' ' ORDER BY x, run_id) AS line_text,
+       MIN(y) AS line_y
+FROM lined GROUP BY page_id, line_idx
+"""
