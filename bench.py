@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "q24_token_counts",
     "q26_windowed_events",
     "q31_tokens_to_grid",
+    "q37_ivf_topk",
+    "q38_pdf_reading_order",
 ]
 
 

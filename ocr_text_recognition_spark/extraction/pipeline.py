@@ -3,12 +3,11 @@
     read documents(doc_id, spans)                [scan; columns pruned]
       -> posexplode_outer(spans)                 [narrow]
       -> branch on kind:
-           text  -> extract_main_text_udf        [Arrow batches]
-           media -> distinct media_ref           [dedup: recognize each
-                    join media on media_ref       distinct image ONCE]
-                    recognize_media_udf
-                    join results back
-           pdf   -> same distinct-ref shape, parse_pdf_layout_udf
+           text      -> extract_main_text_udf    [Arrow batches]
+           media|pdf -> distinct (kind, media_ref)  [dedup: each distinct
+                        join media on media_ref      payload processed ONCE]
+                        extract_ref_udf (dispatch: OCR kernel | layout parse)
+                        join results back
       -> unionByName
       -> salted two-phase reassembly:            [explicit skew handling]
            groupBy(doc_id, salt) partial collect
@@ -35,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ocr_text_recognition_spark.extraction.udfs import (
     extract_main_text_udf,
+    extract_ref_udf,
     parse_pdf_layout_udf,
     recognize_media_udf,
 )
@@ -154,13 +154,26 @@ def run_extraction(
         "offset",
     )
 
-    spans_media = spans.filter(F.col("kind") == "media").select(
+    # kind='media' (OCR kernel) and kind='pdf' (layout parse) share ONE
+    # distinct-ref pass: refs are deduped per (kind, media_ref), payloads
+    # joined once, and extract_ref_udf dispatches per kind inside the Arrow
+    # batch — one documents scan and one join-back for both modalities.
+    spans_ref = spans.filter(F.col("kind").isin("media", "pdf")).select(
         "doc_id", "kind", "media_ref", "offset"
     )
     if persist_media_locators:
-        spans_media = spans_media.persist()
-    media_text = recognize_distinct_media(spans_media, media)
-    spans_media_out = spans_media.join(media_text, "media_ref", "left").select(
+        spans_ref = spans_ref.persist()
+    parallelism = spark.sparkContext.defaultParallelism * 2
+    distinct_refs = spans_ref.select("kind", "media_ref").distinct()
+    # Repartition the payloads (post-join, pre-UDF): partitions must be
+    # sized by kernel COMPUTE, not bytes, or AQE coalesces the UDF stage.
+    payloads = distinct_refs.join(media, "media_ref", "left").repartition(parallelism)
+    ref_text = payloads.select(
+        "kind",
+        "media_ref",
+        extract_ref_udf(F.col("kind"), F.col("content")).alias("text"),
+    )
+    spans_ref_out = spans_ref.join(ref_text, ["kind", "media_ref"], "left").select(
         "doc_id",
         "kind",
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
@@ -168,22 +181,7 @@ def run_extraction(
         "offset",
     )
 
-    extracted = spans_text.unionByName(spans_media_out)
-
-    # kind='pdf': same distinct-ref shape as media, but through the layout
-    # parser instead of the OCR kernel (north rule: "PDF/layout parse").
-    spans_pdf = spans.filter(F.col("kind") == "pdf").select(
-        "doc_id", "kind", "media_ref", "offset"
-    )
-    pdf_text = recognize_distinct_media(spans_pdf, media, kernel_udf=parse_pdf_layout_udf)
-    spans_pdf_out = spans_pdf.join(pdf_text, "media_ref", "left").select(
-        "doc_id",
-        "kind",
-        F.coalesce(F.col("text"), F.lit("")).alias("text"),
-        "media_ref",
-        "offset",
-    )
-    extracted = extracted.unionByName(spans_pdf_out)
+    extracted = spans_text.unionByName(spans_ref_out)
     return reassemble_spans(extracted, n_salt=n_salt)
 
 

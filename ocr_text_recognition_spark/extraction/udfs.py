@@ -66,3 +66,22 @@ def parse_pdf_layout_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     _, _, parse_pdf = _engine()
     for s in batches:
         yield s.map(parse_pdf)
+
+
+@pandas_udf(StringType())
+def extract_ref_udf(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    """(kind, payload) -> text, dispatching per span kind inside the batch:
+    'media' through the OCR kernel, 'pdf' through the layout parser. Lets
+    media and pdf spans share ONE distinct-ref pass + join instead of one
+    subtree per kind (one fewer documents scan, ~4 fewer stages)."""
+    _, recognize, parse_pdf = _engine()
+    for kinds, payloads in batches:
+        out = []
+        for kind, payload in zip(kinds, payloads):
+            if payload is None:
+                out.append("")
+            elif kind == "pdf":
+                out.append(parse_pdf(payload))
+            else:
+                out.append(recognize(payload))
+        yield pd.Series(out, dtype="object")
