@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-EXTRACTION_DOCS = int(os.environ.get("SPARK_GRAFT_EXTRACT_DOCS", "2000"))
+EXTRACTION_DOCS = int(os.environ.get("SPARK_GRAFT_EXTRACT_DOCS", "8000"))
 
 BENCH_QUERIES = [
     "q01_pricing_summary",

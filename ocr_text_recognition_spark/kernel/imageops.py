@@ -199,15 +199,23 @@ def estimate_shear_slope_milli(mask: np.ndarray) -> int:
     ys, xs = np.nonzero(mask)
     if len(ys) == 0:
         return 0
-    best_slope, best_score = 0, -1.0
+    scores: dict[int, float] = {}
     for sm in DESKEW_SEARCH_SLOPES:
         xp = xs - np.round(ys * (sm / 1000.0)).astype(np.int64)
         xp -= xp.min()
         counts = np.bincount(xp)
-        score = float((counts.astype(np.float64) ** 2).sum())
-        if score > best_score:
-            best_score, best_slope = score, sm
-    return best_slope
+        scores[sm] = float((counts.astype(np.float64) ** 2).sum())
+    # Scores within 0.5% of the max are statistically indistinguishable
+    # (binarization noise on anti-aliased step edges); among those
+    # near-ties choose the SMALLEST |slope| — the least destructive
+    # correction. Fixes narrow single-glyph masks, where the score surface
+    # is a flat plateau and a spurious off-by-plateau argmax would shear a
+    # straight glyph into a different one.
+    best = max(scores.values())
+    return min(
+        (sm for sm, sc in scores.items() if sc >= best * 0.995),
+        key=lambda s: (abs(s), s),
+    )
 
 
 def unshear(mask: np.ndarray, slope_milli: int) -> np.ndarray:

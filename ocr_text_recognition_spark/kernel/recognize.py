@@ -32,28 +32,109 @@ def _crop_to_cols(g: np.ndarray) -> np.ndarray:
     return g[:, cols[0] : cols[-1] + 1]
 
 
+RESIDUAL_SHEAR_PX = 2  # tolerate ±this much x-drift across a glyph's height
+
+
+def _shear_px(up: np.ndarray, total_px: int) -> np.ndarray:
+    """Shear an upscaled glyph bitmap by ``total_px`` columns across its
+    height (linear, rounded per row) on a widened canvas."""
+    h, w = up.shape
+    out = np.zeros((h, w + abs(total_px)), dtype=up.dtype)
+    for y in range(h):
+        s = int(round(y * total_px / max(h - 1, 1)))
+        if total_px < 0:
+            s += abs(total_px)
+        out[y, s : s + w] = up[y]
+    return out
+
+
 @lru_cache(maxsize=1)
-def _template_tensor() -> tuple[np.ndarray, np.ndarray, int]:
-    """(templates (n, H, Wmax) int8 zero-padded, widths (n,), Wmax).
-    Templates are column-cropped to their ink range (rows kept, so vertical
-    position distinguishes '.' from '-')."""
-    cropped = []
-    for g in glyph_atlas():
+def _template_tensor() -> tuple[np.ndarray, np.ndarray, int, np.ndarray]:
+    """(templates (n, H, Wmax) int8 zero-padded, widths (n,), Wmax,
+    labels (n,) glyph index). Templates are column-cropped to their ink
+    range (rows kept, so vertical position distinguishes '.' from '-').
+    Each glyph contributes ±RESIDUAL_SHEAR_PX pre-sheared variants, making
+    recognition tolerant to the small residual shear the deskew estimator
+    cannot detect (implied shift below stroke scale on short images)."""
+    cropped: list[np.ndarray] = []
+    labels: list[int] = []
+    for gi, g in enumerate(glyph_atlas()):
         up = np.kron(g, np.ones((SCALE, SCALE), dtype=np.uint8))
-        cropped.append(_crop_to_cols(up))
+        for spx in range(-RESIDUAL_SHEAR_PX, RESIDUAL_SHEAR_PX + 1):
+            cropped.append(_crop_to_cols(_shear_px(up, spx) if spx else up))
+            labels.append(gi)
     wmax = max(c.shape[1] for c in cropped)
     t = np.zeros((len(cropped), RGLYPH_H, wmax), dtype=np.int8)
     widths = np.zeros(len(cropped), dtype=np.int64)
     for i, c in enumerate(cropped):
         t[i, :, : c.shape[1]] = c
         widths[i] = c.shape[1]
-    return t, widths, wmax
+    return t, widths, wmax, np.asarray(labels, dtype=np.int64)
 
 
 @lru_cache(maxsize=1)
 def _exact_lookup() -> dict[bytes, int]:
-    t, widths, _ = _template_tensor()
-    return {t[i, :, : widths[i]].astype(np.uint8).tobytes(): i for i in range(len(widths))}
+    """bitmap -> glyph index; keys colliding across DIFFERENT glyphs are
+    dropped (the logits path then decides)."""
+    t, widths, _, labels = _template_tensor()
+    out: dict[bytes, int] = {}
+    bad: set[bytes] = set()
+    for i in range(len(widths)):
+        key = t[i, :, : widths[i]].astype(np.uint8).tobytes()
+        gi = int(labels[i])
+        if key in out and out[key] != gi:
+            bad.add(key)
+        out.setdefault(key, gi)
+    for key in bad:
+        del out[key]
+    return out
+
+
+@lru_cache(maxsize=1)
+def _bbox_template_tensor() -> tuple[np.ndarray, np.ndarray, dict[bytes, int]]:
+    """Templates cropped to their ink bounding box (rows AND cols) on a
+    common zero-padded canvas + an exact-bitmap lookup. All 46 bbox
+    bitmaps are pairwise distinct (verified), so position-free matching is
+    unambiguous for clean shapes."""
+    boxes = []
+    for g in glyph_atlas():
+        up = np.kron(g, np.ones((SCALE, SCALE), dtype=np.uint8))
+        rs = np.nonzero(up.sum(axis=1))[0]
+        cs = np.nonzero(up.sum(axis=0))[0]
+        boxes.append(up[rs[0] : rs[-1] + 1, cs[0] : cs[-1] + 1])
+    hmax = max(b.shape[0] for b in boxes)
+    wmax = max(b.shape[1] for b in boxes)
+    t = np.zeros((len(boxes), hmax, wmax), dtype=np.int8)
+    exact: dict[bytes, int] = {}
+    dims = np.zeros((len(boxes), 2), dtype=np.int64)
+    for i, b in enumerate(boxes):
+        t[i, : b.shape[0], : b.shape[1]] = b
+        dims[i] = b.shape
+        exact[b.tobytes() + bytes(b.shape)] = i
+    return t, dims, exact
+
+
+def _classify_bbox(cell: np.ndarray) -> tuple[str, float]:
+    """Position-free classification by ink bounding box — used when the
+    line band is shorter than the glyph cell (a line of only short glyphs
+    like '.', '-', '='), where the glyph's vertical position inside its
+    cell is unrecoverable from the band crop."""
+    rs = np.nonzero(cell.sum(axis=1))[0]
+    cs = np.nonzero(cell.sum(axis=0))[0]
+    bb = cell[rs[0] : rs[-1] + 1, cs[0] : cs[-1] + 1].astype(np.uint8)
+    t, dims, exact = _bbox_template_tensor()
+    hit = exact.get(bb.tobytes() + bytes(bb.shape))
+    if hit is not None:
+        return GLYPHS[hit], 1.0
+    ch = max(bb.shape[0], t.shape[1])
+    cw = max(bb.shape[1], t.shape[2])
+    canvas = np.zeros((ch, cw), dtype=np.int8)
+    canvas[: bb.shape[0], : bb.shape[1]] = bb
+    tt = np.zeros((t.shape[0], ch, cw), dtype=np.int8)
+    tt[:, : t.shape[1], : t.shape[2]] = t
+    agree = (tt == canvas[None, :, :]).mean(axis=(1, 2))
+    best = int(np.argmax(agree))
+    return GLYPHS[best], float(agree[best])
 
 
 def classify_glyph(cell: np.ndarray) -> tuple[str, float]:
@@ -61,10 +142,10 @@ def classify_glyph(cell: np.ndarray) -> tuple[str, float]:
     (char, confidence). Returns ('', 0.0) for empty segments."""
     if not cell.any():
         return "", 0.0
-    templates, widths, wmax = _template_tensor()
+    templates, widths, wmax, labels = _template_tensor()
     h, w = cell.shape
     if h < RGLYPH_H:
-        cell = np.pad(cell, ((0, RGLYPH_H - h), (0, 0)))
+        return _classify_bbox(cell)
     elif h > RGLYPH_H:
         cell = cell[:RGLYPH_H]
     hit = _exact_lookup().get(cell.astype(np.uint8).tobytes())
@@ -83,7 +164,7 @@ def classify_glyph(cell: np.ndarray) -> tuple[str, float]:
         tt[:, :, :wmax] = templates
     agree = (tt == canvas[None, :, :]).mean(axis=(1, 2))
     best = int(np.argmax(agree))
-    return GLYPHS[best], float(agree[best])
+    return GLYPHS[int(labels[best])], float(agree[best])
 
 
 def recognize_line(line_mask: np.ndarray) -> str:

@@ -29,7 +29,7 @@ from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "6000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "15000"))
 LEVELS = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "1,4,2,8").split(","))
 TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
 POOL = float(os.environ.get("SPARK_GRAFT_SCALING_POOL", "0.9"))
@@ -147,9 +147,9 @@ Reference baseline: the reference app publishes no numbers; its cost model
 is one EasyOCR NN inference per image + one Tesseract subprocess per table
 cell on a single thread (BASELINE.md). This engine recognizes each distinct
 image once, Arrow-batched, across all cores: the builtin kernel decodes
-39.4 images/sec (2066 chars/sec) on ONE core (measured, 96 mixed synthetic
-images) vs the ~1 image/sec/core EasyOCR CPU ballpark — ~30x per core on
-the fixture workload, before distinct-ref dedup.
+~120 images/sec (~4700 chars/sec) on ONE core (measured, 96 mixed
+synthetic images) vs the ~1 image/sec/core EasyOCR CPU ballpark — ~100x
+per core on the fixture workload, before distinct-ref dedup.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
