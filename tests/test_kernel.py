@@ -189,3 +189,77 @@ class TestHtmlExtract:
     def test_none_and_empty(self):
         assert extract_main_text(None) == ""
         assert extract_main_text("") == ""
+
+
+class TestKernelRobustness:
+    """Regression pins for the short-glyph / residual-shear fixes."""
+
+    def test_single_short_glyph_lines(self):
+        # lines made only of short glyphs have no full-height band; they
+        # classify via the position-free bbox path (all 46 bbox bitmaps
+        # are pairwise distinct)
+        from ocr_text_recognition_spark.kernel import render
+        from ocr_text_recognition_spark.kernel.imgcodec import encode_image
+
+        for ch in [".", "+", "=", ":", "-"]:
+            img = render.render_text_image([ch])
+            got = reference_kernel.recognize_media_bytes(encode_image(img))
+            assert got == ch, f"{ch!r} -> {got!r}"
+
+    def test_multipart_glyph_stays_one_line(self):
+        # '=' / ':' parts are <=3 blank rows apart and must not split into
+        # two text lines (segment_lines min_gap=4)
+        from ocr_text_recognition_spark.kernel import render, segment
+        from ocr_text_recognition_spark.kernel.imgcodec import encode_image
+
+        img = render.render_text_image(["="])
+        mask = reference_kernel.preprocess_image(img)
+        assert len(segment.segment_lines(mask)) == 1
+
+    def test_sheared_single_glyph_roundtrip(self):
+        # residual shear below the estimator's detection floor must not
+        # change the decoded char (pre-sheared template variants)
+        from ocr_text_recognition_spark.kernel import render
+        from ocr_text_recognition_spark.kernel.imgcodec import encode_image
+
+        for slope in (-60, -30, 30, 60):
+            img = render.shear_image(render.render_text_image(["1"]), slope)
+            got = reference_kernel.recognize_media_bytes(encode_image(img))
+            assert got == "1", f"slope {slope}: {got!r}"
+
+    def test_connected_components_matches_bfs(self):
+        # vectorized run-labeling + min-label propagation == classic BFS
+        # flood fill (8-connectivity), up to label bijection
+        from collections import deque
+
+        rng = np.random.default_rng(5)
+        for _ in range(25):
+            m = (rng.random((rng.integers(1, 30), rng.integers(1, 30))) < 0.4).astype(np.uint8)
+            l1, n1 = segment.connected_components(m)
+            h, w = m.shape
+            l2 = np.zeros((h, w), np.int32)
+            n2 = 0
+            for y in range(h):
+                for x in range(w):
+                    if m[y, x] and l2[y, x] == 0:
+                        n2 += 1
+                        q = deque([(y, x)])
+                        l2[y, x] = n2
+                        while q:
+                            cy, cx = q.popleft()
+                            for dy in (-1, 0, 1):
+                                for dx in (-1, 0, 1):
+                                    ny, nx = cy + dy, cx + dx
+                                    if 0 <= ny < h and 0 <= nx < w and m[ny, nx] and l2[ny, nx] == 0:
+                                        l2[ny, nx] = n2
+                                        q.append((ny, nx))
+            assert n1 == n2
+            pairs = set(zip(l1.ravel().tolist(), l2.ravel().tolist()))
+            assert len({a for a, _ in pairs}) == len(pairs) == len({b for _, b in pairs})
+
+    def test_connected_components_raster_label_order(self):
+        m = np.zeros((5, 5), np.uint8)
+        m[4, 4] = 1
+        m[0, 0] = 1
+        labels, n = segment.connected_components(m)
+        assert n == 2 and labels[0, 0] == 1 and labels[4, 4] == 2
