@@ -94,6 +94,21 @@ def main() -> None:
     ext_sec = time.time() - t0
     timings["extraction_pipeline"] = round(ext_sec, 3)
 
+    # north-star correctness metric, off the clock: exact span-sequence
+    # match rate (kind, text, media_ref, order) vs the plain-python golden
+    # path over the SAME corpus the throughput was measured on
+    golden_pd = corpus.make_golden(docs_pd, media_pd)
+    want = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for _, r in golden_pd.iterrows()
+    }
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in run_extraction(spark, docs, media).collect()
+    }
+    matched = sum(1 for d in want if got.get(d) == want[d])
+    span_match_rate = matched / max(len(want), 1)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -109,6 +124,7 @@ def main() -> None:
                     "chars": int(stats["chars"]),
                     "docs_per_sec": round(stats["docs"] / ext_sec, 2),
                     "chars_per_sec": round(stats["chars"] / ext_sec, 1),
+                    "span_match_rate": span_match_rate,
                 },
                 "cpus": CPUS,
             }
