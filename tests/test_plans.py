@@ -1,0 +1,81 @@
+"""Physical-plan regression tests.
+
+The scale story rests on plan properties, not just results: filters must
+reach the parquet scan, dimension joins must broadcast, Python must only
+ever appear as Arrow-batched evaluation, and the one shuffle per operator
+must stay one. These pin the `.explain` output so a regression (lost
+pushdown, vanished broadcast, a row-at-a-time PythonUDF sneaking in)
+fails CI instead of silently costing 10x at scale.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_scan_filter_pushdown(spark, entry):
+    plan = _plan(entry.queries()["q02_filter_projection"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not just the empty list
+    assert "PushedFilters: []" not in plan.split("PushedFilters:", 1)[1][:200]
+
+
+def test_dimension_join_broadcasts(spark, entry):
+    plan = _plan(entry.queries()["q13_broadcast_join_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_row_at_a_time_python_anywhere(spark, entry):
+    """Python may only appear as ArrowEvalPython (pandas/Arrow batches) —
+    BatchEvalPython (pickled row-at-a-time UDF) is forbidden engine-wide."""
+    qs = entry.queries()
+    for name in ("q28_extract_main_text", "q29_extraction_pipeline", "q37_ivf_topk"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_ivf_single_assignment_stage(spark, entry):
+    """The corpus-side centroid assignment must evaluate ONCE — Catalyst
+    duplicating the UDF into the join's null filter doubles kernel cost."""
+    plan = _plan(entry.queries()["q37_ivf_topk"](spark, SF_DIR))
+    # each ArrowEvalPython node appears twice in formatted output (tree +
+    # detail section); one node -> exactly 2 mentions
+    assert plan.count("ArrowEvalPython") == 2
+
+
+def test_extraction_pipeline_stays_arrow(spark, small_corpus):
+    from ocr_text_recognition_spark.extraction.pipeline import run_extraction
+    from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+
+    docs_pd, media_pd, _ = small_corpus
+    docs = pandas_to_spark(spark, docs_pd, "documents")
+    media = pandas_to_spark(spark, media_pd, "media")
+    plan = _plan(run_extraction(spark, docs, media))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_topn_uses_window_group_limit(spark, entry):
+    """Spark's WindowGroupLimit pushes rank<=N below the final sort — the
+    difference between shuffling N rows per group and ALL rows."""
+    plan = _plan(entry.queries()["q14_topn_per_nation"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
