@@ -130,9 +130,20 @@ def _classify_bbox(cell: np.ndarray) -> tuple[str, float]:
     cw = max(bb.shape[1], t.shape[2])
     canvas = np.zeros((ch, cw), dtype=np.int8)
     canvas[: bb.shape[0], : bb.shape[1]] = bb
-    tt = np.zeros((t.shape[0], ch, cw), dtype=np.int8)
-    tt[:, : t.shape[1], : t.shape[2]] = t
-    agree = (tt == canvas[None, :, :]).mean(axis=(1, 2))
+    # score each template at BOTH top- and bottom-aligned placements and
+    # keep the better: glyphs that hang below the baseline (',') only
+    # match their tail when bottom-aligned, while top-alignment would
+    # let a smaller dense glyph ('.') absorb the body and win
+    tt_top = np.zeros((t.shape[0], ch, cw), dtype=np.int8)
+    tt_top[:, : t.shape[1], : t.shape[2]] = t
+    tt_bot = np.zeros((t.shape[0], ch, cw), dtype=np.int8)
+    for i in range(t.shape[0]):
+        h_i = int(dims[i, 0])
+        tt_bot[i, ch - h_i : ch, : t.shape[2]] = t[i, :h_i, :]
+    agree = np.maximum(
+        (tt_top == canvas[None, :, :]).mean(axis=(1, 2)),
+        (tt_bot == canvas[None, :, :]).mean(axis=(1, 2)),
+    )
     best = int(np.argmax(agree))
     return GLYPHS[best], float(agree[best])
 
