@@ -22,8 +22,11 @@ def partition_metrics(extracted_docs: DataFrame, run_id: str) -> DataFrame:
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
         from pyspark import TaskContext
 
+        t0 = time.time()
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         docs = spans = chars = media = 0
         for pdf in batches:
@@ -33,6 +36,7 @@ def partition_metrics(extracted_docs: DataFrame, run_id: str) -> DataFrame:
                 for s in span_list:
                     chars += len(s["text"] or "")
                     media += 1 if s["kind"] == "media" else 0
+        elapsed = max(time.time() - t0, 1e-9)
         yield pd.DataFrame(
             [
                 {
@@ -42,6 +46,8 @@ def partition_metrics(extracted_docs: DataFrame, run_id: str) -> DataFrame:
                     "spans": spans,
                     "chars_decoded": chars,
                     "media_spans": media,
+                    "elapsed_sec": elapsed,
+                    "spans_per_sec": spans / elapsed,
                 }
             ]
         )

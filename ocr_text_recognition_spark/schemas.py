@@ -36,5 +36,7 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("spans", T.LongType(), False),
         T.StructField("chars_decoded", T.LongType(), False),
         T.StructField("media_spans", T.LongType(), False),
+        T.StructField("elapsed_sec", T.DoubleType(), False),
+        T.StructField("spans_per_sec", T.DoubleType(), False),
     ]
 )

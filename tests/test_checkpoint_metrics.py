@@ -83,3 +83,13 @@ def test_cer_detects_divergence(spark):
     b = spark.createDataFrame([("d1", [("text", "abXd", "", 0)])], DOCUMENTS_SCHEMA)
     (row,) = metrics.cer_vs_reference(a, b).collect()
     assert abs(row["cer"] - 0.25) < 1e-9
+
+
+def test_partition_metrics_rates(spark, small_corpus):
+    """spans/sec + elapsed are per-partition (north star: lineage includes
+    throughput) and positive wherever spans were processed."""
+    _, _, golden_pd = small_corpus
+    golden = pandas_to_spark(spark, golden_pd, "documents")
+    rows = metrics.partition_metrics(golden, run_id="t2").collect()
+    assert all(r["elapsed_sec"] > 0 for r in rows)
+    assert all(r["spans_per_sec"] > 0 for r in rows if r["spans"] > 0)
