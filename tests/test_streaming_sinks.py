@@ -135,3 +135,61 @@ def test_stateful_span_assembly_across_microbatches(spark, small_corpus, tmp_pat
         for _, r in docs_pd.iterrows()
     }
     assert got == want
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """True streaming run: an event arriving in batch 2 that is older than
+    the watermark established by batch 1 is DROPPED from the append-mode
+    windowed aggregation (the late-data contract of the north rule's
+    streaming front-end)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_text_recognition_spark.streaming.incremental import windowed_event_counts
+
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("event_type", pa.string()), ("value", pa.float64()),
+         ("ts", pa.timestamp("us"))]
+    )
+    def write(name, rows):
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array([r[i] for r in rows], schema.field(i).type) for i in range(5)],
+                schema=schema),
+            str(in_dir / name))
+
+    from datetime import datetime
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)
+    # run 1: events up to 12:00 -> watermark persisted = 10:00 (2h)
+    write("b1.parquet", [(1, 1, "click", 1.0, t(9)), (2, 1, "click", 1.0, t(12))])
+
+    # two sequential availableNow runs sharing a checkpoint: the watermark
+    # established by run 1 (batch of b1 only) persists and filters run 2
+    out_dir = str(tmp_path / "win_out")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double, ts timestamp"
+        ).parquet(str(in_dir))
+        out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    drain()
+    # run 2: one on-time event at 13:00 and one LATE event at 07:00
+    # (07:00 window end 08:00 < persisted watermark 10:00 -> dropped)
+    write("b2.parquet", [(3, 1, "click", 1.0, t(13)), (4, 1, "click", 99.0, t(7))])
+    drain()
+
+    rows = {(r["window_start"].hour, r["n"], r["sum_value"])
+            for r in spark.read.parquet(out_dir).collect()}
+    # append mode only FINALIZES windows below the watermark: the 09:00
+    # window closed (watermark 11:00 after batch 2's 13:00 max) — and the
+    # late 07:00 event must NOT have created a finalized 07:00 window row
+    assert not any(h == 7 for h, _, _ in rows)
+    assert (9, 1, 1.0) in rows
