@@ -26,7 +26,11 @@ GLYPH_W = 5
 GLYPH_SPACING = 1
 # A space character renders as this many blank columns (strictly more than
 # GLYPH_SPACING so word gaps are distinguishable from glyph gaps).
-SPACE_WIDTH = 4
+# 6 font px -> 18 rendered px: word gaps then measure ~20 px vs <=13 px
+# intra-word gaps, an unambiguous margin even under +/-2 px shear drift
+# (at 4 the narrowest word gap was 14 px — one deskew-rounding away from
+# an intra-word gap)
+SPACE_WIDTH = 6
 
 _FONT: dict[str, tuple[str, ...]] = {
     "0": ("01110", "10001", "10011", "10101", "11001", "10001", "01110"),

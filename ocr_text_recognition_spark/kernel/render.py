@@ -38,7 +38,7 @@ SCALE = 3
 RGLYPH_W = GLYPH_W * SCALE  # 15 px
 RGLYPH_H = GLYPH_H * SCALE  # 21 px
 RSPACING = GLYPH_SPACING * SCALE  # 3 px between glyphs
-RSPACE = SPACE_WIDTH * SCALE  # 12 px for a space
+RSPACE = SPACE_WIDTH * SCALE  # 18 px for a space
 LINE_GAP = 8  # blank rows between text lines
 MARGIN = 9
 

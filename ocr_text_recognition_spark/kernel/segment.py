@@ -17,11 +17,15 @@ import numpy as np
 # The smallest real glyph component at render SCALE=3 is '.' = 36 px; noise
 # clusters that survive the median filter stay well under 20.
 MIN_COMPONENT_AREA = 20
-# Column gap >= this many px separates words. At render SCALE=3 the widest
-# intra-word gap (narrow punctuation neighbors) is 12 px and the narrowest
-# word gap is 15 px; 13 splits them with margin on both sides, and the 5x5
-# sigma=1 Gaussian provably preserves these gaps at this scale.
+# Column gap >= this many px separates words. Measured at render SCALE=3:
+# word gaps run 14-15 px and shrink to ~13 under shear drift, intra-word
+# gaps run <= 12 px — EXCEPT after a narrow glyph (',' '.' ':' — ink <=
+# NARROW_GLYPH_PX wide), whose mostly-empty cell inflates the following
+# gap to ~13; a real space there measures ~21 px, so those gaps use the
+# larger threshold.
 WORD_GAP_PX = 13
+NARROW_GLYPH_PX = 8
+WORD_GAP_AFTER_NARROW_PX = 18
 
 
 def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
@@ -136,10 +140,14 @@ def segment_glyph_boxes(line_mask: np.ndarray) -> list[tuple[int, int, bool]]:
     runs = _runs(cols, min_gap=1)
     out: list[tuple[int, int, bool]] = []
     prev_end: int | None = None
+    prev_width = 0
     for s, e in runs:
-        space = prev_end is not None and (s - prev_end) >= WORD_GAP_PX
+        gap_needed = (
+            WORD_GAP_AFTER_NARROW_PX if prev_width <= NARROW_GLYPH_PX else WORD_GAP_PX
+        )
+        space = prev_end is not None and (s - prev_end) >= gap_needed
         out.append((s, e, space))
-        prev_end = e
+        prev_end, prev_width = e, e - s
     return out
 
 
