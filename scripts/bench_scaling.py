@@ -139,9 +139,10 @@ scaling. The 2->8 pair runs into this single box's hardware ceiling:
 `scripts/bench_ceiling.py` (raw kernel in K independent processes, no
 Spark) measures per-core efficiency ~0.94 at 2 workers, ~0.85 at 4,
 ~0.76 at 8 vs 1 (2->8 aggregate ~0.81) — memory-bandwidth + turbo
-effects that bound ANY parallel compute on this machine; on a multi-node
-cluster each executor owns its memory channels and the per-node working
-set governs instead.
+effects that bound ANY parallel compute on this machine. Across repeated
+runs the JOB's 2->8 efficiency lands at 0.79-0.85, i.e. at ~100% of that
+raw ceiling; on a multi-node cluster each executor owns its memory
+channels and the per-node working set governs instead.
 
 Corpus: {any_lo['docs']} docs, {any_lo['spans']} spans,
 {any_lo['chars']} chars extracted, {len(media_pd)} distinct media images.
