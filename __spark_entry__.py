@@ -465,7 +465,11 @@ def q28_extract_main_text(spark, sf_dir):
 
 def q29_extraction_pipeline(spark, sf_dir):
     """Full interleaved extraction on a generated corpus (kernel UDFs +
-    salted reassembly). Non-SQL-expressible -> rows-only driver check."""
+    salted reassembly). The DuckDB oracle reads the committed golden-span
+    fixture (fixtures/golden_spans_24.parquet, produced by the independent
+    plain-Python corpus.make_golden path) and recomputes the same per-doc
+    stats *and an md5 digest of the full (kind, text, media_ref, offset)
+    span sequence* — so rows+schema+hash verify span-sequence equality."""
     from ocr_text_recognition_spark import corpus
     from ocr_text_recognition_spark.extraction.pipeline import run_extraction
     from ocr_text_recognition_spark.io_pandas import pandas_to_spark
@@ -482,12 +486,28 @@ def q29_extraction_pipeline(spark, sf_dir):
             F.lit(0),
             lambda a, b: a + b,
         ).alias("chars_extracted"),
+        F.md5(
+            F.concat_ws(
+                "\x1e",
+                F.transform(
+                    "spans",
+                    lambda s: F.concat_ws(
+                        "\x1f",
+                        s["kind"],
+                        s["text"],
+                        s["media_ref"],
+                        s["offset"].cast("string"),
+                    ),
+                ),
+            )
+        ).alias("span_digest"),
     )
 
 
 def q30_image_metadata(spark, sf_dir):
     """Multimodal metadata over generated media payloads (mapInPandas,
-    Arrow batches). Rows-only driver check (kernel not SQL-expressible)."""
+    Arrow batches). Oracle: frozen plain-Python metadata fixture
+    (fixtures/image_meta_16.parquet, scripts/make_fixtures.py)."""
     from ocr_text_recognition_spark import corpus
     from ocr_text_recognition_spark.io_pandas import pandas_to_spark
     from ocr_text_recognition_spark.operators.multimodal import image_metadata

@@ -1,7 +1,8 @@
 """DuckDB oracle SQL — one twin per SQL-expressible entry in
 ``__spark_entry__.queries()``. Column names, float rounding, and integer
 widths are aligned with the Spark side (the driver hashes values after
-sorting columns by name). Queries q29/q30 (kernel UDFs) are rows-only.
+sorting columns by name). Queries q29/q30 (kernel UDFs) verify against
+committed golden fixtures (scripts/make_fixtures.py) via read_parquet.
 """
 
 from __future__ import annotations
@@ -368,6 +369,29 @@ SELECT doc_id,
        CAST(length(CASE WHEN length(t) >= 10 THEN t ELSE '' END) AS INT) AS n_chars,
        CASE WHEN length(t) >= 10 THEN t ELSE '' END AS main_text
 FROM norm
+"""
+
+# q29/q30 oracles read frozen golden fixtures (scripts/make_fixtures.py):
+# parquet produced by the plain-Python reference path (corpus.make_golden /
+# the decode twin of operators.multimodal.image_metadata) and committed to
+# the repo. The md5 span digest makes the driver's value-hash check a true
+# span-sequence-equality check: any (kind, text, media_ref, order) deviation
+# in the distributed pipeline changes the digest.
+_FIXTURES = "/root/repo/fixtures"
+
+ORACLES["q29_extraction_pipeline"] = f"""
+SELECT doc_id,
+       CAST(len(spans) AS INT) AS n_spans,
+       CAST(list_sum(list_transform(spans, s -> length(s.text))) AS INT) AS chars_extracted,
+       md5(array_to_string(list_transform(spans,
+           s -> concat_ws(chr(31), s.kind, s.text, s.media_ref, CAST(s."offset" AS VARCHAR))), chr(30))) AS span_digest
+FROM read_parquet('{_FIXTURES}/golden_spans_24.parquet')
+"""
+
+ORACLES["q30_image_metadata"] = f"""
+SELECT media_ref, height, width, n_bytes,
+       ROUND(ink_density, 4) AS ink_density, valid
+FROM read_parquet('{_FIXTURES}/image_meta_16.parquet')
 """
 
 ORACLES["q31_tokens_to_grid"] = """
