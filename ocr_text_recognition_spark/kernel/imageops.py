@@ -119,6 +119,33 @@ def otsu_binarize(img: np.ndarray) -> np.ndarray:
     return (img <= t).astype(np.uint8)
 
 
+def adaptive_binarize(img: np.ndarray, block: int = 11, c: float = 2.0) -> np.ndarray:
+    """Gaussian-weighted adaptive threshold -> ink mask (1 = ink).
+
+    Analog of the reference's cv2.adaptiveThreshold(maxValue=255,
+    ADAPTIVE_THRESH_GAUSSIAN_C, THRESH_BINARY, blockSize, C=2)
+    (/root/reference/src/model/ocr_model.py:77-79 block=11;
+    /root/reference/src/services/enhanced_table_ocr_service.py:58-60
+    block=15). cv2 marks background where src > T(x,y) with
+    T = gaussian-weighted local mean - C; our mask convention inverts that:
+    ink where src <= T. sigma follows cv2.getGaussianKernel's default for
+    sigma<=0: 0.3*((block-1)*0.5 - 1) + 0.8. Border handling is replicate,
+    like cv2's BORDER_REPLICATE.
+
+    Unlike global Otsu this tracks uneven illumination (a shadowed scan
+    edge, a lamp gradient) — each pixel competes only with its block-sized
+    neighborhood. The flip side on clean renders: large solid strokes
+    thicker than `block` lose their interior (local mean ~ the stroke
+    itself), which is why Otsu stays the default for the synthetic corpus
+    and adaptive is the photographed/scanned-deployment option.
+    """
+    sigma = 0.3 * ((block - 1) * 0.5 - 1) + 0.8
+    k = _gaussian_kernel1d(block, sigma).astype(np.float32)
+    local = _conv1d_axis(img.astype(np.float32), k, 0)
+    local = _conv1d_axis(local, k, 1)
+    return (img.astype(np.float32) <= local - np.float32(c)).astype(np.uint8)
+
+
 SHARPEN_KERNEL = np.array([[-1, -1, -1], [-1, 9, -1], [-1, -1, -1]], dtype=np.float64)
 
 

@@ -27,14 +27,34 @@ from ocr_text_recognition_spark.kernel.imgcodec import decode_image
 CELL_SEP = " | "
 
 
-def preprocess_image(img: np.ndarray) -> np.ndarray:
+def preprocess_image(
+    img: np.ndarray,
+    binarizer: str = "otsu",
+    adaptive_block: int = 11,
+    rotate_portrait: bool = False,
+) -> np.ndarray:
     """Raw image -> cleaned, deskewed, despeckled binary ink mask.
+
+    ``binarizer``: 'otsu' (default — the north star names the Otsu stage;
+    correct for the evenly-lit synthetic corpus) or 'adaptive' (the
+    reference's cv2.adaptiveThreshold(GAUSSIAN_C, block=11/15, C=2)
+    semantic, ocr_model.py:77-79 / enhanced_table_ocr_service.py:58-60 —
+    the choice for unevenly-lit scans/photos; see
+    imageops.adaptive_binarize for the trade-off).
+    ``rotate_portrait``: opt-in 90-degree rotation of portrait images
+    (ocr_model.py:66-68) for photo-capture deployments; off by default
+    because the synthetic corpus renders true text geometry.
 
     Despeckling (connected-component area filter) runs ONCE here rather
     than per text line / per table cell — one labeling pass per image."""
+    if rotate_portrait:
+        img = imageops.rotate90_if_portrait(img)
     gray = imageops.to_grayscale(img)
     blur = imageops.gaussian_blur(gray, ksize=5, sigma=1.0)
-    mask = imageops.otsu_binarize(blur)
+    if binarizer == "adaptive":
+        mask = imageops.adaptive_binarize(blur, block=adaptive_block, c=2.0)
+    else:
+        mask = imageops.otsu_binarize(blur)
     mask = imageops.median3(mask)
     mask = imageops.deskew(mask)
     from ocr_text_recognition_spark.kernel import segment
@@ -42,12 +62,14 @@ def preprocess_image(img: np.ndarray) -> np.ndarray:
     return segment.remove_specks(mask)
 
 
-def recognize_media_bytes(data: bytes | None) -> str:
+def recognize_media_bytes(data: bytes | None, **preprocess_kwargs) -> str:
     """Media payload -> extracted text.
 
     Table images serialize as rows of CELL_SEP-joined cells; free-text
     images as newline-joined lines; undecodable/blank payloads -> ''
     (the reference's empty-result fallback, table_ocr_service.py:216-219).
+    ``preprocess_kwargs`` pass through to preprocess_image (binarizer=
+    'adaptive', rotate_portrait=True for photo/scan deployments).
     """
     if not data:
         return ""
@@ -55,7 +77,7 @@ def recognize_media_bytes(data: bytes | None) -> str:
         img = decode_image(bytes(data))
     except Exception:
         return ""
-    mask = preprocess_image(img)
+    mask = preprocess_image(img, **preprocess_kwargs)
     table = tableparse.extract_table(mask)
     if table is not None:
         return "\n".join(CELL_SEP.join(row) for row in table)
