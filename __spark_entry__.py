@@ -672,6 +672,36 @@ def q38_pdf_reading_order(spark, sf_dir):
     )
 
 
+_HEADER_SETS = [
+    ["Môn học", "HK1", "HK2"],  # subject + grade keywords
+    ["Tên môn", "Subject", "Điểm"],  # TWO subject candidates: last wins, first -> other
+    ["Name", "Score", "Notes"],  # no keywords -> positional fallback
+    ["điểm", "Semester", "Final"],  # grade kw in col 0 but NO subject kw -> positional
+]
+
+
+def q39_keyword_columns(spark, sf_dir):
+    """Keyword grade-column classification
+    (enhanced_table_ocr_service.py:560-571): header keyword match with
+    last-subject-wins and whole-doc positional fallback. Four header-set
+    shapes exercise every branch."""
+    from ocr_text_recognition_spark.operators.tableops import classify_columns
+
+    sets = F.array(*[F.array(*[F.lit(h) for h in s]) for s in _HEADER_SETS])
+    headers = (
+        spark.range(0, 12)
+        .select(F.col("id").alias("doc_id"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.element_at(sets, (F.pmod("doc_id", F.lit(4)) + 1).cast("int"))
+            ).alias("col_idx", "header"),
+        )
+        .select("doc_id", F.col("col_idx").cast("int").alias("col_idx"), "header")
+    )
+    return classify_columns(headers)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -712,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_cer": q36_cer,
         "q37_ivf_topk": q37_ivf_topk,
         "q38_pdf_reading_order": q38_pdf_reading_order,
+        "q39_keyword_columns": q39_keyword_columns,
     }
 
 

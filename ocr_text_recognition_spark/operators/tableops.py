@@ -10,10 +10,68 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ocr_text_recognition_spark.operators.textops import grade_cast, is_numeric
+
+# Header keywords for grade-table column classification
+# (/root/reference/src/services/enhanced_table_ocr_service.py:560-567).
+SUBJECT_KEYWORDS = ("môn", "subject", "tên môn")
+GRADE_KEYWORDS = ("hk1", "hk2", "học kỳ", "semester", "điểm", "grade", "final", "cuối kỳ")
+
+
+def classify_columns(headers: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """(doc, col_idx, header) -> (doc, col_idx, header, role) with role in
+    {'subject', 'grade', 'other'}.
+
+    Mirrors the reference loop (enhanced_table_ocr_service.py:560-571)
+    exactly:
+    - a column whose lowercased header CONTAINS a subject keyword is a
+      subject candidate; the LAST such column wins (the loop overwrites),
+      earlier candidates become 'other';
+    - else a column containing a grade keyword is 'grade';
+    - if NO subject keyword matched anywhere in the doc, the whole doc
+      falls back to positional: first column subject, ALL others grade
+      (the fallback overwrites keyword-matched grade_cols too).
+
+    Pure Spark SQL (contains + window max), no UDF — one narrow pass plus
+    one per-doc window, scale-safe at any header count.
+    """
+    h = F.lower(F.trim(F.col("header")))
+    is_subj = None
+    for kw in SUBJECT_KEYWORDS:
+        cond = h.contains(kw)
+        is_subj = cond if is_subj is None else (is_subj | cond)
+    is_grade = None
+    for kw in GRADE_KEYWORDS:
+        cond = h.contains(kw)
+        is_grade = cond if is_grade is None else (is_grade | cond)
+
+    tagged = headers.select(
+        doc_col,
+        "col_idx",
+        "header",
+        is_subj.alias("subj_kw"),
+        ((~is_subj) & is_grade).alias("grade_kw"),
+    )
+    w = Window.partitionBy(doc_col)
+    tagged = tagged.withColumn(
+        "last_subj_col",
+        F.max(F.when(F.col("subj_kw"), F.col("col_idx"))).over(w),
+    ).withColumn("min_col", F.min("col_idx").over(w))
+    role = (
+        F.when(
+            F.col("last_subj_col").isNull(),  # positional fallback
+            F.when(F.col("col_idx") == F.col("min_col"), F.lit("subject")).otherwise(
+                F.lit("grade")
+            ),
+        )
+        .when(F.col("col_idx") == F.col("last_subj_col"), F.lit("subject"))
+        .when(F.col("grade_kw"), F.lit("grade"))
+        .otherwise(F.lit("other"))
+    )
+    return tagged.select(doc_col, "col_idx", "header", role.alias("role"))
 
 
 def header_score(cells: DataFrame, doc_col: str = "doc_id") -> DataFrame:
@@ -55,19 +113,37 @@ def synthetic_col_names(n: int | None = None):
     )
 
 
-def grades_rows(cells: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+def grades_rows(
+    cells: DataFrame, doc_col: str = "doc_id", keyword_headers: bool = False
+) -> DataFrame:
     """Long-format grade-table cells -> one row per (doc, data row) with the
-    subject (col 0) and grade columns cast numerically where possible.
+    subject column and grade columns cast numerically where possible.
 
-    Column classification uses the positional fallback (first col =
-    subject, rest = grades, enhanced_table_ocr_service.py:568-571);
-    keyword-based classification is a filter callers apply on header text.
-    """
+    ``keyword_headers=False``: positional classification (first col =
+    subject, rest = grades — the reference fallback,
+    enhanced_table_ocr_service.py:568-571). ``keyword_headers=True``: the
+    header row (row_idx == 0) is classified by keyword via
+    classify_columns (enhanced:560-567), and the roles join back onto the
+    data rows — a broadcast-sized join (one row per (doc, column))."""
     data = cells.filter(F.col("row_idx") > 0)
-    subjects = data.filter(F.col("col_idx") == 0).select(
-        doc_col, "row_idx", F.col("value").alias("subject")
-    )
-    grades = data.filter(F.col("col_idx") > 0).select(
+    if keyword_headers:
+        roles = classify_columns(
+            cells.filter(F.col("row_idx") == 0).select(
+                doc_col, "col_idx", F.col("value").alias("header")
+            ),
+            doc_col,
+        )
+        data = data.join(roles.select(doc_col, "col_idx", "role"), [doc_col, "col_idx"])
+        subjects = data.filter(F.col("role") == "subject").select(
+            doc_col, "row_idx", F.col("value").alias("subject")
+        )
+        grades = data.filter(F.col("role") == "grade")
+    else:
+        subjects = data.filter(F.col("col_idx") == 0).select(
+            doc_col, "row_idx", F.col("value").alias("subject")
+        )
+        grades = data.filter(F.col("col_idx") > 0)
+    grades = grades.select(
         doc_col,
         "row_idx",
         "col_idx",

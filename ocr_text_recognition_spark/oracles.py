@@ -526,3 +526,47 @@ SELECT page_id, line_idx,
        MIN(y) AS line_y
 FROM lined GROUP BY page_id, line_idx
 """
+
+# Keyword grade-column classification (enhanced_table_ocr_service.py:560-571):
+# lowercased-header CONTAINS match, last subject candidate wins, whole-doc
+# positional fallback when no subject keyword matched anywhere.
+ORACLES["q39_keyword_columns"] = """
+WITH docs AS (SELECT unnest(generate_series(0, 11)) AS doc_id),
+cols AS (SELECT unnest(generate_series(0, 2)) AS ci),
+hdr AS (
+  SELECT doc_id, CAST(ci AS INT) AS col_idx,
+         CASE doc_id % 4
+           WHEN 0 THEN (['Môn học', 'HK1', 'HK2'])[ci + 1]
+           WHEN 1 THEN (['Tên môn', 'Subject', 'Điểm'])[ci + 1]
+           WHEN 2 THEN (['Name', 'Score', 'Notes'])[ci + 1]
+           ELSE (['điểm', 'Semester', 'Final'])[ci + 1]
+         END AS header
+  FROM docs, cols),
+tagged AS (
+  SELECT doc_id, col_idx, header,
+         (contains(lower(trim(header)), 'môn')
+          OR contains(lower(trim(header)), 'subject')
+          OR contains(lower(trim(header)), 'tên môn')) AS subj_kw,
+         (contains(lower(trim(header)), 'hk1')
+          OR contains(lower(trim(header)), 'hk2')
+          OR contains(lower(trim(header)), 'học kỳ')
+          OR contains(lower(trim(header)), 'semester')
+          OR contains(lower(trim(header)), 'điểm')
+          OR contains(lower(trim(header)), 'grade')
+          OR contains(lower(trim(header)), 'final')
+          OR contains(lower(trim(header)), 'cuối kỳ')) AS grade_kw_raw
+  FROM hdr),
+agg AS (
+  SELECT doc_id, col_idx, header, subj_kw,
+         (NOT subj_kw AND grade_kw_raw) AS grade_kw,
+         max(CASE WHEN subj_kw THEN col_idx END) OVER (PARTITION BY doc_id) AS last_subj_col,
+         min(col_idx) OVER (PARTITION BY doc_id) AS min_col
+  FROM tagged)
+SELECT doc_id, col_idx, header,
+       CASE WHEN last_subj_col IS NULL THEN
+              CASE WHEN col_idx = min_col THEN 'subject' ELSE 'grade' END
+            WHEN col_idx = last_subj_col THEN 'subject'
+            WHEN grade_kw THEN 'grade'
+            ELSE 'other' END AS role
+FROM agg
+"""

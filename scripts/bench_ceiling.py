@@ -38,15 +38,17 @@ def _worker(payloads: list[bytes], out: mp.Queue) -> None:
     out.put(len(payloads) / (time.time() - t0))
 
 
-def main() -> None:
+def measure_ceiling(levels: tuple[int, ...] = LEVELS, n_images: int = N_IMAGES) -> dict[int, dict]:
+    """Run the raw-kernel ceiling measurement; returns {K: {workers,
+    agg_imgs_per_sec, per_worker}}. Importable so bench_scaling.py can
+    co-measure the ceiling in the SAME run/artifact as the Spark job."""
     from ocr_text_recognition_spark import corpus
 
-    _, media = corpus.make_corpus(N_IMAGES + 30, seed=3)
-    payloads = media["content"].tolist()[:N_IMAGES]
-    print(f"{len(payloads)} images per worker", flush=True)
+    _, media = corpus.make_corpus(n_images + 30, seed=3)
+    payloads = media["content"].tolist()[:n_images]
 
-    results = {}
-    for k in LEVELS:
+    results: dict[int, dict] = {}
+    for k in levels:
         q: mp.Queue = mp.Queue()
         procs = [mp.Process(target=_worker, args=(payloads, q)) for _ in range(k)]
         t0 = time.time()
@@ -60,7 +62,11 @@ def main() -> None:
         results[k] = {"workers": k, "agg_imgs_per_sec": round(agg, 1),
                       "per_worker": [round(r, 1) for r in rates]}
         print(json.dumps(results[k]), flush=True)
+    return results
 
+
+def main() -> None:
+    results = measure_ceiling()
     base = results[LEVELS[0]]["agg_imgs_per_sec"] / LEVELS[0]
     for k in LEVELS[1:]:
         eff = (results[k]["agg_imgs_per_sec"] / k) / base

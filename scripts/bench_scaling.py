@@ -30,10 +30,16 @@ from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "15000"))
 LEVELS = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "1,4,2,8").split(","))
-TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "5"))
 POOL = float(os.environ.get("SPARK_GRAFT_SCALING_POOL", "0.9"))
+# The gated pair per BASELINE.json's north rule (N -> 4N). 2->8 is gated
+# because it is the HARDER pair on this box (deeper into the shared
+# memory-bandwidth/turbo regime); 1->4 is reported alongside.
+GATE_PAIR = (2, 8)
+GATE_TARGET = 0.8
 
 CHILD = r"""
 import json, sys, time
@@ -43,7 +49,7 @@ from ocr_text_recognition_spark.extraction.pipeline import run_extraction
 from pyspark.sql import functions as F
 
 cores, corpus_dir, trials = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
-spark = get_spark("scaling_%%d" %% cores, cores=cores, shuffle_partitions=max(cores, 2))
+spark = get_spark("scaling_%%d" %% cores, cores=cores, shuffle_partitions=cores * 2)
 docs = spark.read.parquet(corpus_dir + "/documents.parquet")
 media = spark.read.parquet(corpus_dir + "/media.parquet")
 
@@ -92,23 +98,68 @@ def main() -> None:
     write_corpus_parquet(docs_pd, media_pd, corpus_dir)
     print(f"corpus ready: {len(docs_pd)} docs, {len(media_pd)} media", flush=True)
 
+    # Co-measure the raw-kernel hardware ceiling at the gated levels IN THE
+    # SAME run, so the artifact that carries the gated number also carries
+    # the ceiling evidence (no cross-referencing a separate run).
+    from bench_ceiling import measure_ceiling
+
+    print("measuring raw-kernel ceiling ...", flush=True)
+    ceiling = measure_ceiling(levels=tuple(sorted(set(LEVELS))))
+
     results = {}
     for cores in LEVELS:
         results[cores] = run_level(cores, corpus_dir)
         print(json.dumps(results[cores]), flush=True)
 
     pairs = [(LEVELS[i], LEVELS[i + 1]) for i in range(0, len(LEVELS) - 1, 2)]
-    rows, effs = [], []
+    rows, pair_effs = [], {}
     for n, n4 in pairs:
         lo, hi = results[n], results[n4]
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (n4 / n)
-        effs.append(((n, n4), eff))
+        ceil_eff = (
+            (ceiling[n4]["agg_imgs_per_sec"] / ceiling[n]["agg_imgs_per_sec"]) / (n4 / n)
+            if n in ceiling and n4 in ceiling
+            else None
+        )
+        pair_effs[(n, n4)] = (eff, ceil_eff)
         rows.append(
             f"| local[{n}] -> local[{n4}] | {lo['sec']} -> {hi['sec']} | "
             f"{lo['docs_per_sec']} -> {hi['docs_per_sec']} | "
-            f"{lo['chars_per_sec']} -> {hi['chars_per_sec']} | **{eff:.3f}** |"
+            f"{lo['chars_per_sec']} -> {hi['chars_per_sec']} | **{eff:.3f}** | "
+            f"{ceil_eff:.3f} |"
         )
-        print(f"efficiency {n}->{n4}: {eff:.3f}", flush=True)
+        print(f"efficiency {n}->{n4}: {eff:.3f} (raw-kernel ceiling {ceil_eff:.3f})", flush=True)
+
+    gate_eff, gate_ceil = pair_effs.get(GATE_PAIR, pair_effs[pairs[-1]])
+    gate_pass = gate_eff >= GATE_TARGET
+    verdict = (
+        "PASS"
+        if gate_pass
+        else f"FAIL (at {gate_eff / gate_ceil:.0%} of the co-measured hardware ceiling)"
+    )
+    gate_line = (
+        f"GATE {GATE_PAIR[0]}->{GATE_PAIR[1]}: efficiency {gate_eff:.3f} "
+        f"vs target >= {GATE_TARGET} -> {verdict}"
+    )
+    print(gate_line, flush=True)
+
+    scaling_json = {
+        "n_docs": N_DOCS,
+        "trials": TRIALS,
+        "levels": {str(c): results[c] for c in results},
+        "pairs": {
+            f"{n}->{n4}": {"efficiency": round(e, 3), "ceiling_efficiency": round(ce, 3)}
+            for (n, n4), (e, ce) in pair_effs.items()
+        },
+        "gate": {
+            "pair": f"{GATE_PAIR[0]}->{GATE_PAIR[1]}",
+            "efficiency": round(gate_eff, 3),
+            "target": GATE_TARGET,
+            "pass": gate_pass,
+            "ceiling_efficiency": round(gate_ceil, 3),
+        },
+        "ceiling": {str(k): v for k, v in ceiling.items()},
+    }
 
     level_rows = "\n".join(
         f"| local[{c}] | {r['sec']} | {r['all_secs']} | {r['docs_per_sec']} | {r['chars_per_sec']} |"
@@ -116,33 +167,51 @@ def main() -> None:
     )
     pair_rows = "\n".join(rows)
     any_lo = results[LEVELS[0]]
+    ceil_rows = "\n".join(
+        f"| {k} | {v['agg_imgs_per_sec']} | {v['per_worker']} |"
+        for k, v in ceiling.items()
+    )
     md = f"""# BENCH / BASELINE — measured numbers
 
 Generated {datetime.now(timezone.utc).isoformat(timespec="seconds")} by
 `scripts/bench_scaling.py`: same extraction job, same {N_DOCS}-doc seeded
 interleaved corpus read from parquet, fresh child process per parallelism
-level, one full warm-up pass then median of {TRIALS} timed passes.
+level, one full warm-up pass then median of {TRIALS} timed passes. The
+raw-kernel hardware ceiling is co-measured in the same invocation; the
+machine-readable twin of this file is `BENCH/scaling.json`.
+
+## Gated number
+
+**{gate_line}**
+
+The gate is the north rule's N -> 4N pair, measured at 2 -> 8 cores (the
+harder pair on this box — deeper into the shared memory-bandwidth/turbo
+regime). 1 -> 4 is reported alongside. No reframing: if the gated number is
+below {GATE_TARGET}, the row below says FAIL, with the same-run hardware
+ceiling as the waiver evidence.
 
 | parallelism | median sec | all trials | docs/sec | chars/sec |
 |---|---|---|---|---|
 {level_rows}
 
-## N -> 4N scaling efficiency (target >= 0.8)
+## N -> 4N scaling efficiency (target >= {GATE_TARGET})
 
-| pair | wall sec | docs/sec | chars/sec | efficiency |
-|---|---|---|---|---|
+| pair | wall sec | docs/sec | chars/sec | efficiency | raw-kernel ceiling |
+|---|---|---|---|---|---|
 {pair_rows}
 
-The 1->4 pair is the primary evidence: in that range each core keeps its
-turbo headroom and memory bandwidth, so the measurement reflects the JOB's
-scaling. The 2->8 pair runs into this single box's hardware ceiling:
-`scripts/bench_ceiling.py` (raw kernel in K independent processes, no
-Spark) measures per-core efficiency ~0.94 at 2 workers, ~0.85 at 4,
-~0.76 at 8 vs 1 (2->8 aggregate ~0.81) — memory-bandwidth + turbo
-effects that bound ANY parallel compute on this machine. Across repeated
-runs the JOB's 2->8 efficiency lands at 0.79-0.85, i.e. at ~100% of that
-raw ceiling; on a multi-node cluster each executor owns its memory
-channels and the per-node working set governs instead.
+## Co-measured hardware ceiling (same run)
+
+Raw numpy kernel in K INDEPENDENT processes — no Spark, no shuffle, no
+Python worker protocol; an upper bound on what any parallel compute can
+show on this box (memory bandwidth + turbo scaling):
+
+| workers | aggregate imgs/sec | per-worker rates |
+|---|---|---|
+{ceil_rows}
+
+On a multi-node cluster each executor owns its memory channels, so the
+per-node working set governs instead of this single-socket ceiling.
 
 Corpus: {any_lo['docs']} docs, {any_lo['spans']} spans,
 {any_lo['chars']} chars extracted, {len(media_pd)} distinct media images.
@@ -158,6 +227,8 @@ per core on the fixture workload, before distinct-ref dedup.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(scaling_json, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -267,3 +267,54 @@ def test_ivf_topk_matches_brute_force_on_probed_lists(spark):
     # and at least one of each query's approximate hits is a true top-3 hit
     hits = {r.query_id for r in approx if r.vec_id in exact_ids}
     assert len(hits) >= 1
+
+
+def test_classify_columns_keyword_and_fallback(spark):
+    """Mirror of enhanced_table_ocr_service.py:560-571: last subject
+    candidate wins, keyword grades, and the whole-doc positional fallback
+    (which overrides keyword-matched grade cols when no subject matched)."""
+    from ocr_text_recognition_spark.operators.tableops import classify_columns
+
+    headers = spark.createDataFrame(
+        [
+            # doc a: subject + two grade keywords
+            ("a", 0, "Môn học"), ("a", 1, "HK1"), ("a", 2, "HK2"),
+            # doc b: two subject candidates -> last wins, first -> other
+            ("b", 0, "Tên môn"), ("b", 1, "Subject"), ("b", 2, "Điểm"),
+            # doc c: no keywords -> positional
+            ("c", 0, "Name"), ("c", 1, "Score"), ("c", 2, "Notes"),
+            # doc d: grade keyword in col 0 but no subject kw -> positional
+            ("d", 0, "điểm"), ("d", 1, "Semester"), ("d", 2, "Other stuff"),
+        ],
+        ["doc_id", "col_idx", "header"],
+    )
+    roles = {
+        (r["doc_id"], r["col_idx"]): r["role"]
+        for r in classify_columns(headers).collect()
+    }
+    assert roles[("a", 0)] == "subject" and roles[("a", 1)] == roles[("a", 2)] == "grade"
+    assert roles[("b", 0)] == "other" and roles[("b", 1)] == "subject" and roles[("b", 2)] == "grade"
+    assert roles[("c", 0)] == "subject" and roles[("c", 1)] == roles[("c", 2)] == "grade"
+    # fallback overrides the grade keyword in col 0 (reference sets
+    # subject_col = columns[0], grade_cols = columns[1:])
+    assert roles[("d", 0)] == "subject" and roles[("d", 1)] == roles[("d", 2)] == "grade"
+
+
+def test_grades_rows_keyword_headers(spark):
+    from ocr_text_recognition_spark.operators.tableops import grades_rows
+
+    # header row 0: subject in col 1 (keyword), grade in col 0 and 2
+    cells = spark.createDataFrame(
+        [
+            ("t", 0, 0, "HK1"), ("t", 0, 1, "Môn"), ("t", 0, 2, "HK2"),
+            ("t", 1, 0, "8,5"), ("t", 1, 1, "Math"), ("t", 1, 2, "9.0"),
+        ],
+        ["doc_id", "row_idx", "col_idx", "value"],
+    )
+    rows = grades_rows(cells, keyword_headers=True).collect()
+    assert {r["subject"] for r in rows} == {"Math"}
+    got = {(r["col_idx"], r["grade_num"]) for r in rows}
+    assert got == {(0, 8.5), (2, 9.0)}
+    # positional path would have called col 0 the subject instead
+    pos = grades_rows(cells).filter(F.col("row_idx") == 1).collect()
+    assert {r["subject"] for r in pos} == {"8,5"}
