@@ -56,6 +56,118 @@ def _try_easyocr() -> Recognizer | None:
     return run
 
 
+# Per-cell recognition charset (reference enhanced_table_ocr_service.py:249-252):
+# digits + ASCII letters + the full Vietnamese diacritic set + ' .,()-'.
+TESSERACT_CELL_WHITELIST = (
+    "0123456789"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    "ÀÁÂÃÈÉÊÌÍÒÓÔÕÙÚĂĐĨŨƠàáâãèéêìíòóôõùúăđĩũơ"
+    "ƯĂẠẢẤẦẨẪẬẮẰẲẴẶẸẺẼỀỀỂưăạảấầẩẫậắằẳẵặẹẻẽềềể"
+    "ỄỆỈỊỌỎỐỒỔỖỘỚỜỞỠỢỤỦỨỪễệỉịọỏốồổỗộớờởỡợụủứừ"
+    "ỬỮỰỲỴÝỶỸửữựỳỵýỷỹ .,()-"
+)
+
+# Token-box confidence gate (reference table_ocr_service.py:245:
+# int(conf) > 30 and text.strip()).
+TOKEN_MIN_CONF = 30
+
+TokenRecognizer = Callable[[bytes], list[dict]]
+
+
+def _try_tesseract_tokens() -> TokenRecognizer | None:
+    """image_to_data --psm 6 token boxes (reference
+    table_ocr_service.py:207-211): (text, left, top, width, height, conf)
+    dicts with the conf>30 + non-blank filter applied — the shape
+    operators.sessionize.tokens_to_grid consumes."""
+    try:
+        import pytesseract  # noqa: F401
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+
+    def run(data: bytes) -> list[dict]:
+        import io
+
+        import pytesseract
+        from PIL import Image
+
+        d = pytesseract.image_to_data(
+            Image.open(io.BytesIO(data)),
+            output_type=pytesseract.Output.DICT,
+            config="--psm 6",
+        )
+        out = []
+        for i in range(len(d["text"])):
+            txt = (d["text"][i] or "").strip()
+            if txt and int(float(d["conf"][i])) > TOKEN_MIN_CONF:
+                out.append(
+                    {
+                        "text": txt,
+                        "left": int(d["left"][i]),
+                        "top": int(d["top"][i]),
+                        "width": int(d["width"][i]),
+                        "height": int(d["height"][i]),
+                        "conf": float(d["conf"][i]),
+                    }
+                )
+        return out
+
+    return run
+
+
+def _try_tesseract_cell() -> Recognizer | None:
+    """Per-cell recognizer: --psm 8 (single word/line) with the Vietnamese
+    character whitelist (reference enhanced_table_ocr_service.py:249-252)."""
+    try:
+        import pytesseract  # noqa: F401
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+
+    def run(data: bytes) -> str:
+        import io
+
+        import pytesseract
+        from PIL import Image
+
+        return pytesseract.image_to_string(
+            Image.open(io.BytesIO(data)),
+            config=f"--psm 8 -c tessedit_char_whitelist={TESSERACT_CELL_WHITELIST}",
+        ).strip()
+
+    return run
+
+
+def tokens_from_bytes(data: bytes | None) -> list[dict] | None:
+    """Token boxes for an image payload, or None when no token-box engine
+    is installed (callers then use the builtin kernel's own segmentation).
+    The returned dicts plug straight into tokens_to_grid's
+    (doc_id, top, left, text) input after adding the doc key."""
+    if not data:
+        return []
+    fn = _try_tesseract_tokens()
+    if fn is None:
+        return None
+    try:
+        return fn(bytes(data))
+    except Exception:
+        return None
+
+
+def recognize_cell_bytes(data: bytes | None) -> str | None:
+    """Whitelisted per-cell text, or None when no external engine (callers
+    fall back to the builtin glyph recognizer)."""
+    if not data:
+        return ""
+    fn = _try_tesseract_cell()
+    if fn is None:
+        return None
+    try:
+        return fn(bytes(data))
+    except Exception:
+        return None
+
+
 def _builtin(data: bytes) -> str:
     return reference_kernel.recognize_media_bytes(data)
 

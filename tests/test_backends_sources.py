@@ -55,3 +55,82 @@ def test_read_write_table_parquet_fallback(spark, tmp_path):
     sources.write_table(df, path, partition_by=["id"])
     sources.write_table(df, path, partition_by=["id"])
     assert sources.read_table(spark, path).count() == 2
+
+
+def _install_fake_tesseract(monkeypatch, calls):
+    """Inject fake pytesseract + PIL modules so the import-gated token-box
+    and per-cell paths execute positively in this container."""
+    import sys
+    import types
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda fp: ("image", fp.read())
+    fake_pil.Image = fake_image_mod
+
+    fake_tess = types.ModuleType("pytesseract")
+    fake_tess.Output = types.SimpleNamespace(DICT="dict")
+
+    def image_to_data(img, output_type=None, config=""):
+        calls.append(("data", config))
+        # mixed confidences + blank tokens: only conf>30 non-blank survive
+        return {
+            "text": ["Math", "", "  ", "8,5", "junk", "9.0"],
+            "conf": ["95", "-1", "50", "88.0", "12", "31"],
+            "left": [10, 0, 0, 210, 5, 310],
+            "top": [12, 0, 0, 11, 90, 13],
+            "width": [50, 0, 0, 30, 9, 30],
+            "height": [14, 0, 0, 13, 9, 13],
+        }
+
+    def image_to_string(img, config=""):
+        calls.append(("string", config))
+        return "  8,5 \n"
+
+    fake_tess.image_to_data = image_to_data
+    fake_tess.image_to_string = image_to_string
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    monkeypatch.setitem(sys.modules, "pytesseract", fake_tess)
+
+
+def test_tesseract_token_boxes_contract(monkeypatch):
+    """image_to_data --psm 6 path (reference table_ocr_service.py:207-211,
+    conf>30 filter at :245): returns (text,left,top,width,height,conf)
+    dicts ready for tokens_to_grid."""
+    calls = []
+    _install_fake_tesseract(monkeypatch, calls)
+    toks = backends.tokens_from_bytes(b"some image bytes")
+    assert [t["text"] for t in toks] == ["Math", "8,5", "9.0"]
+    assert toks[0] == {"text": "Math", "left": 10, "top": 12, "width": 50, "height": 14, "conf": 95.0}
+    # conf == 31 passes (> 30), conf == 12 and blanks filtered
+    assert {t["conf"] for t in toks} == {95.0, 88.0, 31.0}
+    assert calls and calls[0] == ("data", "--psm 6")
+
+
+def test_tesseract_cell_psm8_whitelist_contract(monkeypatch):
+    """Per-cell --psm 8 + Vietnamese char whitelist
+    (reference enhanced_table_ocr_service.py:249-252)."""
+    calls = []
+    _install_fake_tesseract(monkeypatch, calls)
+    text = backends.recognize_cell_bytes(b"cell image")
+    assert text == "8,5"  # stripped
+    kind, config = calls[-1]
+    assert kind == "string"
+    assert config.startswith("--psm 8 -c tessedit_char_whitelist=")
+    for needle in ("0123456789", "abcdefghijklmnopqrstuvwxyz", "đ", "ữ", " .,()-"):
+        assert needle in config
+
+
+def test_token_paths_none_without_engine():
+    """Without pytesseract installed the token-box / cell paths return None
+    (callers fall back to the builtin kernel) and empty input returns
+    empty/'' rather than None."""
+    import importlib.util
+
+    if importlib.util.find_spec("pytesseract") is not None:
+        return  # environment actually has tesseract; nothing to assert
+    assert backends.tokens_from_bytes(b"img") is None
+    assert backends.recognize_cell_bytes(b"img") is None
+    assert backends.tokens_from_bytes(None) == []
+    assert backends.recognize_cell_bytes(b"") == ""
