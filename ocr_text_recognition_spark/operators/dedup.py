@@ -124,13 +124,38 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
-    The verify stage after LSH pruning; quadratic within shingle groups."""
+    The verify stage after LSH pruning; quadratic within shingle groups.
+
+    ``max_shingle_df``: optional document-frequency cap — shingles present
+    in more than this many documents are dropped BEFORE the self-join
+    (standard MinHash-verify hygiene: one stop-shingle shared by millions
+    of docs otherwise creates a quadratic hot bucket). Sizes are computed
+    on the SAME filtered shingle set, so the result is the well-defined
+    Jaccard over non-ubiquitous shingles: pairs whose only overlap is
+    stop-shingles drop out (they were never near-duplicates). Default None
+    keeps the exact semantics for the oracle-checked small-scale path."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
     ).distinct()
+    if max_shingle_df is not None:
+        # The hot set (df > cap) is tiny on a Zipfian corpus; one extra
+        # groupBy on sh, then drop hot shingles from both join sides and
+        # from the size universe (consistency keeps jaccard well-defined).
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("shingle_df"))
+            .filter(F.col("shingle_df") > max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("x")

@@ -92,18 +92,33 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share the hyperplane bucket; exact
     cosine re-ranks within the bucket. Recall < 1 by construction — the
-    scale/recall knob is (n_planes, multi-probe)."""
+    recall knobs are n_planes (fewer planes = bigger buckets) and
+    ``multi_probe``: probe the exact bucket PLUS every 1-bit-flip
+    neighbor (n_planes extra buckets per query), recovering neighbors
+    that fall one hyperplane to the other side. The probe explosion is
+    query-side only (queries are the broadcast-small side), and each
+    corpus vector lives in exactly one bucket, so no (query, vec) pair
+    can appear twice — the join stays bucket-keyed, O(sum of probed
+    bucket sizes), never all-pairs."""
     planes = hyperplanes(dim, n_planes)
     e = embeddings.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
-    q = F.broadcast(
-        queries.select(
-            query_id_col,
-            F.col(vec_col).alias("q_vec"),
-        ).withColumn("bucket", lsh_signature(F.col("q_vec"), planes))
-    )
+    q_base = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("q_vec"),
+    ).withColumn("bucket", lsh_signature(F.col("q_vec"), planes))
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q_base = q_base.select(
+            query_id_col, "q_vec", F.explode(probes).alias("bucket")
+        )
+    q = F.broadcast(q_base)
     scored = e.join(q, "bucket").select(
         query_id_col, id_col, cosine(F.col(vec_col), F.col("q_vec")).alias("cos")
     )

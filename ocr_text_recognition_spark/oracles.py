@@ -570,3 +570,23 @@ SELECT doc_id, col_idx, header,
             ELSE 'other' END AS role
 FROM agg
 """
+
+# q40: q35 with 1-bit multi-probe — the query side probes its exact bucket
+# plus every one-bit-flip neighbor (xor with each power of two).
+_PROBE_LIST = "[bucket, " + ", ".join(f"xor(bucket, {1 << i})" for i in range(8)) + "]"
+
+ORACLES["q40_lsh_topk_multiprobe"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql("v", _PLANES)} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+qp AS (SELECT query_id, qv, unnest({_PROBE_LIST}) AS bucket FROM q),
+c AS (SELECT vec_id, v, bucket FROM b WHERE vec_id >= 5),
+s AS (SELECT qp.query_id, c.vec_id,
+             list_inner_product(c.v, qp.qv)
+               / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(qp.qv, qp.qv))) AS cos
+      FROM c JOIN qp ON c.bucket = qp.bucket),
+r AS (SELECT query_id, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+      FROM s)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cos_r, rank FROM r WHERE rank <= 3
+"""

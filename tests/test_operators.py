@@ -318,3 +318,76 @@ def test_grades_rows_keyword_headers(spark):
     # positional path would have called col 0 the subject instead
     pos = grades_rows(cells).filter(F.col("row_idx") == 1).collect()
     assert {r["subject"] for r in pos} == {"8,5"}
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """A stop-shingle shared by every doc creates a quadratic hot bucket;
+    the document-frequency cap drops it before the self-join, leaving only
+    genuinely-near-duplicate pairs (Jaccard over non-ubiquitous shingles)."""
+    from ocr_text_recognition_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved copyright example corp terms of service apply now"
+    rows = [(i, f"{boiler} unique{i} token{i} word{i}") for i in range(10)]
+    rows.append((100, f"{boiler} unique3 token3 word3"))  # near-dup of doc 3
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=5
+    )
+    # boilerplate dominates: every pair clears 0.5 without the cap
+    assert uncapped.count() == 11 * 10 // 2
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in capped.collect()}
+    assert got == {(3, 100, 1.0)}
+
+
+def test_lsh_topk_multiprobe_recall(spark):
+    """1-bit multi-probe must strictly dominate exact-bucket recall vs the
+    brute-force ground truth, and each (query, vec) pair appears once."""
+    import numpy as np
+
+    from ocr_text_recognition_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    # clustered corpus: 20 centers x 10 perturbed members, queries near the
+    # first 8 centers — true neighbors are close in cosine, so bucket
+    # recall is meaningful (i.i.d. gaussian vectors would have no real
+    # neighbors and recall would measure noise).
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((20, 64))
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(10):
+            rows.append((vid, np.round(c + 0.25 * rng.standard_normal(64), 4).tolist()))
+            vid += 1
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qrows = [
+        (10000 + i, np.round(centers[i] + 0.25 * rng.standard_normal(64), 4).tolist())
+        for i in range(8)
+    ]
+    queries = spark.createDataFrame(qrows, ["vec_id", "embedding"]).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    truth = topk_sets(brute_force_topk(corpus, queries, k=5))
+    exact = lsh_topk(corpus, queries, dim=64, k=5)
+    probe = lsh_topk(corpus, queries, dim=64, k=5, multi_probe=True)
+    # no duplicate (query, vec) rows from the probe explosion
+    assert probe.count() == probe.select("query_id", "vec_id").distinct().count()
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r_exact, r_probe = recall(topk_sets(exact)), recall(topk_sets(probe))
+    # measured on this fixture: exact-bucket 0.325, multi-probe 0.900
+    assert r_probe >= r_exact + 0.3
+    assert r_probe >= 0.8, (r_exact, r_probe)
