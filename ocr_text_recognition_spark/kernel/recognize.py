@@ -144,7 +144,20 @@ def _classify_bbox(cell: np.ndarray) -> tuple[str, float]:
         (tt_top == canvas[None, :, :]).mean(axis=(1, 2)),
         (tt_bot == canvas[None, :, :]).mean(axis=(1, 2)),
     )
-    best = int(np.argmax(agree))
+    # Near-ties (blur drift on small glyphs makes pixel agreement alone
+    # ambiguous: a blurred ',' scores identically to '.') break by ink
+    # bounding-box dimension closeness — the blurred ',' is still 9px tall
+    # vs the 6px '.', so the shape prior resolves what agreement cannot.
+    best_score = float(agree.max())
+    cand = np.nonzero(agree >= best_score - 0.003)[0]
+    if len(cand) > 1:
+        mism = np.abs(dims[cand, 0] - bb.shape[0]) + np.abs(dims[cand, 1] - bb.shape[1])
+        order = sorted(
+            range(len(cand)), key=lambda j: (int(mism[j]), -float(agree[cand[j]]), int(cand[j]))
+        )
+        best = int(cand[order[0]])
+    else:
+        best = int(cand[0])
     return GLYPHS[best], float(agree[best])
 
 
