@@ -60,14 +60,19 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
 
 
 def to_excel_edge(df: DataFrame, path: str, max_rows: int = 100_000) -> bool:
-    """Edge sink: collect to pandas and write xlsx IF an engine exists.
-    Returns False (and writes nothing) when openpyxl is unavailable or the
-    result is too large — never a hard dependency."""
+    """Edge sink: collect and write xlsx. Prefers pandas+openpyxl when
+    installed; otherwise the stdlib writer (ocr_text_recognition_spark.xlsx)
+    emits the same one-sheet file, so the positive path works in bare
+    containers. Returns False only when the result exceeds max_rows (this
+    sink is for dimension-sized exports; the scale path is parquet)."""
     if df.limit(max_rows + 1).count() > max_rows:
         return False
     try:
         import openpyxl  # noqa: F401
+
+        df.toPandas().to_excel(path, index=False)
     except ImportError:
-        return False
-    df.toPandas().to_excel(path, index=False)
+        from ocr_text_recognition_spark.xlsx import write_xlsx
+
+        write_xlsx(path, df.columns, [tuple(r) for r in df.collect()])
     return True

@@ -193,3 +193,35 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # late 07:00 event must NOT have created a finalized 07:00 window row
     assert not any(h == 7 for h, _, _ in rows)
     assert (9, 1, 1.0) in rows
+
+
+def test_excel_edge_sink_positive_roundtrip(spark, tmp_path):
+    """The Excel edge sink's SUCCESS branch (reference export_to_excel,
+    table_ocr_service.py:527-553): write a real .xlsx and read it back via
+    the stdlib reader — types and values survive."""
+    from ocr_text_recognition_spark import sinks
+    from ocr_text_recognition_spark.xlsx import read_xlsx
+
+    df = spark.createDataFrame(
+        [("Math", 8.5, 1, True, None), ("Lit <&> 'x'", 9.0, 2, False, "note")],
+        "subject string, grade double, n long, passed boolean, extra string",
+    )
+    path = str(tmp_path / "grades.xlsx")
+    assert sinks.to_excel_edge(df, path) is True
+
+    cols, rows = read_xlsx(path)
+    assert cols == ["subject", "grade", "n", "passed", "extra"]
+    assert sorted(rows) == sorted(
+        [("Math", 8.5, 1, True, None), ("Lit <&> 'x'", 9.0, 2, False, "note")]
+    )
+
+
+def test_excel_edge_sink_size_gate(spark, tmp_path):
+    from ocr_text_recognition_spark import sinks
+
+    df = spark.range(0, 50).select(F.col("id"))
+    path = str(tmp_path / "too_big.xlsx")
+    assert sinks.to_excel_edge(df, path, max_rows=10) is False
+    import os
+
+    assert not os.path.exists(path)
