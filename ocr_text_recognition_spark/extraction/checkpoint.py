@@ -57,6 +57,16 @@ def run_with_checkpoints(
 
     ``max_waves`` exists for kill/resume tests (process only the first K
     waves, then 'crash'). Returns the buckets processed this invocation.
+
+    Concurrency contract: the ledger append is a separate write AFTER the
+    bucket output commit, so a crash between them is safe (the bucket is
+    simply reprocessed; dynamic partition overwrite makes the redo
+    idempotent). TWO resumed drivers running concurrently can both pick
+    an unledgered bucket and double-process it — also safe (idempotent
+    output, duplicate ledger rows deduped by ``completed_buckets``'s
+    distinct) but wasteful; deployments that need single-writer semantics
+    should fence on ``run_id`` (e.g. a ledger precondition or a lock
+    service) before starting a wave.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     done = completed_buckets(spark, ledger_dir)

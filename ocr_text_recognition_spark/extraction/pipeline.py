@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 from ocr_text_recognition_spark.extraction.udfs import (
     extract_main_text_udf,
     extract_ref_udf,
-    parse_pdf_layout_udf,
     recognize_media_udf,
 )
 

@@ -79,9 +79,9 @@ def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
         ea, eb = edges // stride, edges % stride
         while True:
             before = lab.copy()
-            m = np.minimum(lab[ea], lab[eb])
-            np.minimum.at(lab, ea, m)
-            np.minimum.at(lab, eb, m)
+            edge_min = np.minimum(lab[ea], lab[eb])
+            np.minimum.at(lab, ea, edge_min)
+            np.minimum.at(lab, eb, edge_min)
             while True:
                 nxt = lab[lab]
                 if np.array_equal(nxt, lab):
@@ -91,9 +91,11 @@ def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
                 break
     roots = lab.astype(np.int32)
     uniq = np.unique(roots[1:])
-    remap = np.concatenate(
-        ([0], (np.searchsorted(uniq, roots[1:]) + 1).astype(np.int32))
-    )
+    # explicit dtype: np.concatenate(([0], ...)) would promote to int64
+    # and break the documented int32 label-image contract
+    remap = np.empty(n_runs + 1, dtype=np.int32)
+    remap[0] = 0
+    remap[1:] = np.searchsorted(uniq, roots[1:]) + 1
     return remap[run_img], len(uniq)
 
 

@@ -34,46 +34,70 @@ STATE_SCHEMA = (
 )
 
 
-def _assemble(
-    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        kinds, texts, refs, offsets, done = state.get
-        kinds, texts, refs, offsets = list(kinds), list(texts), list(refs), list(offsets)
-    else:
-        kinds, texts, refs, offsets, done = [], [], [], [], False
-    for pdf in pdf_iter:
-        for r in pdf.itertuples(index=False):
-            if r.kind == "eof":
-                done = True
-            else:
-                kinds.append(r.kind)
-                texts.append(None if pd.isna(r.text) else r.text)
-                refs.append(None if pd.isna(r.media_ref) else r.media_ref)
-                offsets.append(int(r.offset))
-    if done:
-        order = sorted(range(len(offsets)), key=offsets.__getitem__)
-        spans = [
-            {"kind": kinds[i], "text": texts[i], "media_ref": refs[i], "offset": offsets[i]}
-            for i in order
-        ]
-        state.remove()
-        yield pd.DataFrame([{"doc_id": key[0], "spans": spans}])
-    else:
-        state.update((kinds, texts, refs, offsets, done))
+DEFAULT_ORPHAN_TIMEOUT_MS = 60 * 60 * 1000  # 1h of processing time
 
 
-def assemble_spans_stream(spans_stream: DataFrame) -> DataFrame:
+def _make_assemble(orphan_timeout_ms: int):
+    def _assemble(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Orphaned state: a doc whose eof never arrived within the
+            # window, or a straggler span that arrived AFTER its doc's eof
+            # (eof removes the state; the straggler would otherwise
+            # recreate a group that is never emitted and never expires —
+            # the unbounded leak in a long-running stream). Drop it.
+            state.remove()
+            return
+        if state.exists:
+            kinds, texts, refs, offsets, done = state.get
+            kinds, texts, refs, offsets = list(kinds), list(texts), list(refs), list(offsets)
+        else:
+            kinds, texts, refs, offsets, done = [], [], [], [], False
+        for pdf in pdf_iter:
+            for r in pdf.itertuples(index=False):
+                if r.kind == "eof":
+                    done = True
+                else:
+                    kinds.append(r.kind)
+                    texts.append(None if pd.isna(r.text) else r.text)
+                    refs.append(None if pd.isna(r.media_ref) else r.media_ref)
+                    offsets.append(int(r.offset))
+        if done:
+            order = sorted(range(len(offsets)), key=offsets.__getitem__)
+            spans = [
+                {"kind": kinds[i], "text": texts[i], "media_ref": refs[i], "offset": offsets[i]}
+                for i in order
+            ]
+            state.remove()
+            yield pd.DataFrame([{"doc_id": key[0], "spans": spans}])
+        else:
+            state.update((kinds, texts, refs, offsets, done))
+            state.setTimeoutDuration(orphan_timeout_ms)
+
+    return _assemble
+
+
+def assemble_spans_stream(
+    spans_stream: DataFrame, orphan_timeout_ms: int = DEFAULT_ORPHAN_TIMEOUT_MS
+) -> DataFrame:
     """Stateful streaming span assembly.
 
     ``spans_stream``: streaming DataFrame (doc_id, kind, text, media_ref,
     offset); a row with kind='eof' marks the document complete. Emits one
     (doc_id, spans) row per completed document, spans in offset order.
+
+    ``orphan_timeout_ms``: processing-time expiry for state whose eof
+    never arrives (crawler died mid-doc, or a span arrived after its
+    doc's eof and recreated state) — without it, such groups accumulate
+    forever in a long-running stream. Expired docs are dropped, not
+    emitted partially: the input contract is at-least-once spans + exactly
+    one eof per doc, so a missing eof means the doc is incomplete.
     """
     return spans_stream.groupBy("doc_id").applyInPandasWithState(
-        _assemble,
+        _make_assemble(orphan_timeout_ms),
         ASSEMBLED_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout,
     )
