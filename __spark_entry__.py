@@ -718,6 +718,34 @@ def q39_keyword_columns(spark, sf_dir):
     return classify_columns(headers)
 
 
+def q41_dedup_pipeline(spark, sf_dir):
+    """End-to-end near-dup dedup: MinHash signatures -> banded LSH
+    candidates (est_jaccard >= 0.5) -> exact n-gram Jaccard verify with the
+    stop-shingle DF cap -> verified pairs. The full composition a training
+    corpus dedup run uses: candidate generation is bucket-keyed (never
+    all-pairs), the verify join is capped against hot-shingle blowup."""
+    from ocr_text_recognition_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _dup_documents(spark, sf_dir)
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=8)
+    cands = lsh_candidate_pairs(sigs, num_perm=8, bands=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=50
+    )
+    return cands.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 4).alias("est_jaccard"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -760,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_pdf_reading_order": q38_pdf_reading_order,
         "q39_keyword_columns": q39_keyword_columns,
         "q40_lsh_topk_multiprobe": q40_lsh_topk_multiprobe,
+        "q41_dedup_pipeline": q41_dedup_pipeline,
     }
 
 

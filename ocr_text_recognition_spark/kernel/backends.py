@@ -30,7 +30,14 @@ def _try_tesseract() -> Recognizer | None:
         import pytesseract
         from PIL import Image
 
-        return pytesseract.image_to_string(Image.open(io.BytesIO(data)), config="--psm 6")
+        img = Image.open(io.BytesIO(data))
+        try:
+            # the reference's metadata path requests Vietnamese+English
+            # (table_ocr_service.py:441); fall back to the default model
+            # when vie traineddata is not installed
+            return pytesseract.image_to_string(img, lang="vie+eng", config="--psm 6")
+        except Exception:
+            return pytesseract.image_to_string(img, config="--psm 6")
 
     return run
 

@@ -590,3 +590,37 @@ r AS (SELECT query_id, vec_id, cos,
       FROM s)
 SELECT query_id, vec_id, ROUND(cos, 6) AS cos_r, rank FROM r WHERE rank <= 3
 """
+
+# q41: end-to-end dedup — LSH candidates (est >= 0.5) verified by exact
+# n-gram Jaccard with the shingle document-frequency cap (df <= 50).
+_EST_SUM = " + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(8))
+
+ORACLES["q41_dedup_pipeline"] = f"""
+WITH {_SIG_DUP},
+band AS (
+  SELECT id, 0 AS band_id, md5(mh_0 || '|' || mh_1) AS bkey FROM sig
+  UNION ALL SELECT id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+  UNION ALL SELECT id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+  UNION ALL SELECT id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+),
+pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM band a JOIN band b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.id < b.id),
+cand AS (
+  SELECT * FROM (
+    SELECT p.id_a, p.id_b, ROUND(({_EST_SUM}) / 8.0, 4) AS est_jaccard
+    FROM pairs p JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b)
+  WHERE est_jaccard >= 0.5),
+kept AS (SELECT s.doc_id, s.sh FROM sh s
+         JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 50) ok USING (sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+exact AS (
+  SELECT i.id_a, i.id_b,
+         i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
+  FROM inter i JOIN sizes za ON za.doc_id = i.id_a JOIN sizes zb ON zb.doc_id = i.id_b
+  WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5)
+SELECT c.id_a, c.id_b, c.est_jaccard, ROUND(e.jaccard, 4) AS jaccard
+FROM cand c JOIN exact e USING (id_a, id_b)
+"""
