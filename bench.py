@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "q31_tokens_to_grid",
     "q37_ivf_topk",
     "q38_pdf_reading_order",
+    "q40_lsh_topk_multiprobe",
+    "q41_dedup_pipeline",
 ]
 
 
@@ -109,6 +111,16 @@ def main() -> None:
     matched = sum(1 for d in want if got.get(d) == want[d])
     span_match_rate = matched / max(len(want), 1)
 
+    # scaling-gate evidence from the most recent scripts/bench_scaling.py
+    # run (BENCH/scaling.json) — the north rule's N -> 4N number travels
+    # with the per-round bench artifact.
+    scaling = None
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        scaling = {"gate": s.get("gate"), "pairs": s.get("pairs")}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -126,6 +138,7 @@ def main() -> None:
                     "chars_per_sec": round(stats["chars"] / ext_sec, 1),
                     "span_match_rate": span_match_rate,
                 },
+                "scaling": scaling,
                 "cpus": CPUS,
             }
         )

@@ -79,3 +79,20 @@ def test_topn_uses_window_group_limit(spark, entry):
     difference between shuffling N rows per group and ALL rows."""
     plan = _plan(entry.queries()["q14_topn_per_nation"](spark, SF_DIR))
     assert "WindowGroupLimit" in plan
+
+
+def test_multiprobe_lsh_stays_broadcast(spark, entry):
+    """The probe explosion happens on the broadcast query side: the
+    candidate join must remain a BroadcastHashJoin on bucket, and no
+    Python evaluation may appear (signatures are pure SQL)."""
+    plan = _plan(entry.queries()["q40_lsh_topk_multiprobe"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_pipeline_pure_sql_and_anti_join(spark, entry):
+    """End-to-end dedup (q41) is md5-SQL throughout — zero Python nodes —
+    and the stop-shingle cap is a broadcast anti-join."""
+    plan = _plan(entry.queries()["q41_dedup_pipeline"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftAnti" in plan
