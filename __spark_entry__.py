@@ -732,11 +732,28 @@ def q41_dedup_pipeline(spark, sf_dir):
 
     docs = _dup_documents(spark, sf_dir)
     sigs = minhash_signatures(docs, "doc_id", "text", num_perm=8)
-    cands = lsh_candidate_pairs(sigs, num_perm=8, bands=4).filter(
-        F.col("est_jaccard") >= 0.5
+    # persist: the candidate set feeds BOTH the id semi-join and the final
+    # verify join — without it the banded self-join lineage runs twice
+    cands = (
+        lsh_candidate_pairs(sigs, num_perm=8, bands=4)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .persist()
+    )
+    # the verify stage runs ONLY over candidate documents (the whole point
+    # of LSH pruning): semi-join the corpus down to ids appearing in a
+    # candidate pair before the exact shingle self-join
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
     exact = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=50
+        docs.join(cand_ids, "doc_id"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        max_shingle_df=50,
     )
     return cands.join(exact, ["id_a", "id_b"]).select(
         "id_a",

@@ -610,8 +610,10 @@ cand AS (
     SELECT p.id_a, p.id_b, ROUND(({_EST_SUM}) / 8.0, 4) AS est_jaccard
     FROM pairs p JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b)
   WHERE est_jaccard >= 0.5),
-kept AS (SELECT s.doc_id, s.sh FROM sh s
-         JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 50) ok USING (sh)),
+cand_ids AS (SELECT id_a AS doc_id FROM cand UNION SELECT id_b FROM cand),
+sh_c AS (SELECT s.* FROM sh s JOIN cand_ids USING (doc_id)),
+kept AS (SELECT s.doc_id, s.sh FROM sh_c s
+         JOIN (SELECT sh FROM sh_c GROUP BY sh HAVING COUNT(*) <= 50) ok USING (sh)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
 inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_inter
           FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id < y.doc_id
