@@ -225,3 +225,59 @@ def test_excel_edge_sink_size_gate(spark, tmp_path):
     import os
 
     assert not os.path.exists(path)
+
+
+def test_stateful_orphan_state_expires(spark, tmp_path):
+    """A doc whose eof never arrives must not leak state forever: with a
+    short processing-time timeout its state expires between micro-batches
+    and the doc is never emitted. An eof arriving AFTER expiry finds no
+    state and emits the doc with whatever arrived post-expiry (here:
+    nothing) — pinning the documented drop semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_text_recognition_spark.streaming.stateful import assemble_spans_stream
+
+    schema = pa.schema(
+        [("doc_id", pa.string()), ("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+
+    def write(name, chunk):
+        pq.write_table(pa.Table.from_arrays(
+            [pa.array([c[i] for c in chunk], schema.field(i).type) for i in range(5)],
+            schema=schema), str(in_dir / name))
+
+    in_dir = tmp_path / "orphan_in"
+    in_dir.mkdir()
+    # b1: orphan gets spans but NO eof; docA completes normally
+    write("b1.parquet", [
+        ("orphan", "text", "lost", "", 0),
+        ("docA", "text", "hello", "", 0),
+        ("docA", "eof", None, None, 2**30),
+    ])
+    # b2: unrelated doc completes — processing b2 fires orphan's timeout
+    write("b2.parquet", [
+        ("docB", "text", "world", "", 0),
+        ("docB", "eof", None, None, 2**30),
+    ])
+    # b3: orphan's eof arrives after expiry -> no accumulated state
+    write("b3.parquet", [("orphan", "eof", None, None, 2**30)])
+
+    stream = spark.readStream.schema(
+        "doc_id string, kind string, text string, media_ref string, offset int"
+    ).option("maxFilesPerTrigger", 1).parquet(str(in_dir))
+    out = assemble_spans_stream(stream, orphan_timeout_ms=1)
+    q = (out.writeStream.format("memory").queryName("orphan_assembled")
+         .option("checkpointLocation", str(tmp_path / "orphan_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"]) for s in r["spans"]]
+        for r in spark.sql("SELECT * FROM orphan_assembled").collect()
+    }
+    assert got["docA"] == [("text", "hello")]
+    assert got["docB"] == [("text", "world")]
+    # the orphan's pre-expiry span is GONE; its late eof emits an empty doc
+    assert got.get("orphan", []) == []
