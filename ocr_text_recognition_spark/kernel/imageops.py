@@ -226,12 +226,26 @@ def estimate_shear_slope_milli(mask: np.ndarray) -> int:
     ys, xs = np.nonzero(mask)
     if len(ys) == 0:
         return 0
-    scores: dict[int, float] = {}
-    for sm in DESKEW_SEARCH_SLOPES:
+
+    def _score(sm: int) -> float:
         xp = xs - np.round(ys * (sm / 1000.0)).astype(np.int64)
         xp -= xp.min()
         counts = np.bincount(xp)
-        scores[sm] = float((counts.astype(np.float64) ** 2).sum())
+        return float((counts.astype(np.float64) ** 2).sum())
+
+    # Two-stage search: coarse step-30 sweep, then step-5 refinement ±15
+    # around the coarse peak — 15 projections instead of 49 for the same
+    # step-5 resolution (the projection-sharpness surface is unimodal
+    # around the true slope; the coarse grid is never more than 15 off).
+    # 0 is always evaluated, so the small-|slope| plateau rule below can
+    # still prefer "straight" on flat score surfaces.
+    scores: dict[int, float] = {}
+    for sm in range(-120, 121, 30):
+        scores[sm] = _score(sm)
+    coarse_best = max(scores, key=lambda s: (scores[s], -abs(s)))
+    for sm in range(coarse_best - 15, coarse_best + 16, 5):
+        if sm not in scores and -120 <= sm <= 120:
+            scores[sm] = _score(sm)
     # Scores within 0.5% of the max are statistically indistinguishable
     # (binarization noise on anti-aliased step edges); among those
     # near-ties choose the SMALLEST |slope| — the least destructive
