@@ -486,6 +486,9 @@ def q29_extraction_pipeline(spark, sf_dir):
             F.lit(0),
             lambda a, b: a + b,
         ).alias("chars_extracted"),
+        # each field coalesces to a \x1d sentinel so a NULL field cannot
+        # alias a neighboring value (concat_ws silently skips NULLs) —
+        # keeps the digest injective over (kind, text, media_ref, offset)
         F.md5(
             F.concat_ws(
                 "\x1e",
@@ -493,10 +496,10 @@ def q29_extraction_pipeline(spark, sf_dir):
                     "spans",
                     lambda s: F.concat_ws(
                         "\x1f",
-                        s["kind"],
-                        s["text"],
-                        s["media_ref"],
-                        s["offset"].cast("string"),
+                        F.coalesce(s["kind"], F.lit("\x1d")),
+                        F.coalesce(s["text"], F.lit("\x1d")),
+                        F.coalesce(s["media_ref"], F.lit("\x1d")),
+                        F.coalesce(s["offset"].cast("string"), F.lit("\x1d")),
                     ),
                 ),
             )
@@ -733,7 +736,10 @@ def q41_dedup_pipeline(spark, sf_dir):
     docs = _dup_documents(spark, sf_dir)
     sigs = minhash_signatures(docs, "doc_id", "text", num_perm=8)
     # persist: the candidate set feeds BOTH the id semi-join and the final
-    # verify join — without it the banded self-join lineage runs twice
+    # verify join — without it the banded self-join lineage runs twice.
+    # Session-lifetime cache (no unpersist): the driver contract hands the
+    # lazy DataFrame to the caller, so eviction is left to Spark's LRU;
+    # a production job would unpersist after materializing its output.
     cands = (
         lsh_candidate_pairs(sigs, num_perm=8, bands=4)
         .filter(F.col("est_jaccard") >= 0.5)

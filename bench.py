@@ -119,7 +119,13 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             s = json.load(f)
-        scaling = {"gate": s.get("gate"), "pairs": s.get("pairs")}
+        # generated_at travels with the embedded evidence so a stale
+        # scaling run is visible as such in the round artifact
+        scaling = {
+            "gate": s.get("gate"),
+            "pairs": s.get("pairs"),
+            "generated_at": s.get("generated_at"),
+        }
 
     total = round(sum(timings.values()), 3)
     print(

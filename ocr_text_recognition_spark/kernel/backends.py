@@ -24,6 +24,13 @@ def _try_tesseract() -> Recognizer | None:
     except ImportError:
         return None
 
+    # Probe the language pack ONCE per process, not per image: the
+    # reference's metadata path requests Vietnamese+English
+    # (table_ocr_service.py:441), but retrying a failed vie+eng call for
+    # every image would double tesseract subprocess cost across millions
+    # of UDF invocations when vie traineddata is absent.
+    lang_mode: list[str | None] = []
+
     def run(data: bytes) -> str:
         import io
 
@@ -31,13 +38,15 @@ def _try_tesseract() -> Recognizer | None:
         from PIL import Image
 
         img = Image.open(io.BytesIO(data))
-        try:
-            # the reference's metadata path requests Vietnamese+English
-            # (table_ocr_service.py:441); fall back to the default model
-            # when vie traineddata is not installed
-            return pytesseract.image_to_string(img, lang="vie+eng", config="--psm 6")
-        except Exception:
-            return pytesseract.image_to_string(img, config="--psm 6")
+        if not lang_mode:
+            try:
+                langs = set(pytesseract.get_languages(config=""))
+            except Exception:
+                langs = set()
+            lang_mode.append("vie+eng" if {"vie", "eng"} <= langs else None)
+        if lang_mode[0]:
+            return pytesseract.image_to_string(img, lang=lang_mode[0], config="--psm 6")
+        return pytesseract.image_to_string(img, config="--psm 6")
 
     return run
 

@@ -22,9 +22,17 @@ from __future__ import annotations
 
 import numpy as np
 
-# Candidate shear slopes (thousandths) for deskew estimation. Superset of
-# render.SKEW_SLOPES_MILLI; step 5 keeps the search cheap (49 candidates).
-DESKEW_SEARCH_SLOPES = tuple(range(-120, 125, 5))
+# Deskew search space (thousandths): ±DESKEW_MAX_SLOPE at DESKEW_STEP
+# resolution, searched coarse-to-fine (DESKEW_COARSE_STEP sweep, then
+# DESKEW_STEP refinement around the coarse peak). Any slope on the fine
+# grid is recoverable as long as the projection-sharpness surface is
+# near-unimodal (the refinement window extends past the coarse half-step
+# on both sides). render.SKEW_SLOPES_MILLI must lie on the fine grid.
+DESKEW_MAX_SLOPE = 120
+DESKEW_STEP = 5
+DESKEW_COARSE_STEP = 15
+DESKEW_REFINE_SPAN = 10  # > DESKEW_COARSE_STEP / 2
+DESKEW_SEARCH_SLOPES = tuple(range(-DESKEW_MAX_SLOPE, DESKEW_MAX_SLOPE + 1, DESKEW_STEP))
 
 
 def rotate90_if_portrait(img: np.ndarray) -> np.ndarray:
@@ -233,18 +241,21 @@ def estimate_shear_slope_milli(mask: np.ndarray) -> int:
         counts = np.bincount(xp)
         return float((counts.astype(np.float64) ** 2).sum())
 
-    # Two-stage search: coarse step-30 sweep, then step-5 refinement ±15
-    # around the coarse peak — 15 projections instead of 49 for the same
-    # step-5 resolution (the projection-sharpness surface is unimodal
-    # around the true slope; the coarse grid is never more than 15 off).
-    # 0 is always evaluated, so the small-|slope| plateau rule below can
-    # still prefer "straight" on flat score surfaces.
+    # Two-stage search: coarse step-15 sweep, then step-5 refinement ±10
+    # around the coarse peak — ~21 projections instead of 49 for the same
+    # step-5 resolution. The refinement window (±10) exceeds the coarse
+    # half-step (7.5), so ANY fine-grid slope is reachable from its
+    # nearest coarse point; the surface is near-unimodal around the true
+    # slope for text masks. 0 is always evaluated, so the small-|slope|
+    # plateau rule below can still prefer "straight" on flat surfaces.
     scores: dict[int, float] = {}
-    for sm in range(-120, 121, 30):
+    for sm in range(-DESKEW_MAX_SLOPE, DESKEW_MAX_SLOPE + 1, DESKEW_COARSE_STEP):
         scores[sm] = _score(sm)
     coarse_best = max(scores, key=lambda s: (scores[s], -abs(s)))
-    for sm in range(coarse_best - 15, coarse_best + 16, 5):
-        if sm not in scores and -120 <= sm <= 120:
+    lo = coarse_best - DESKEW_REFINE_SPAN
+    hi = coarse_best + DESKEW_REFINE_SPAN
+    for sm in range(lo, hi + 1, DESKEW_STEP):
+        if sm not in scores and -DESKEW_MAX_SLOPE <= sm <= DESKEW_MAX_SLOPE:
             scores[sm] = _score(sm)
     # Scores within 0.5% of the max are statistically indistinguishable
     # (binarization noise on anti-aliased step edges); among those

@@ -7,6 +7,8 @@ committed golden fixtures (scripts/make_fixtures.py) via read_parquet.
 
 from __future__ import annotations
 
+import os
+
 from ocr_text_recognition_spark.operators.similarity import hyperplanes
 
 _DUP_DOCS = (
@@ -377,14 +379,20 @@ FROM norm
 # the repo. The md5 span digest makes the driver's value-hash check a true
 # span-sequence-equality check: any (kind, text, media_ref, order) deviation
 # in the distributed pipeline changes the digest.
-_FIXTURES = "/root/repo/fixtures"
+_FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
 
 ORACLES["q29_extraction_pipeline"] = f"""
 SELECT doc_id,
        CAST(len(spans) AS INT) AS n_spans,
        CAST(list_sum(list_transform(spans, s -> length(s.text))) AS INT) AS chars_extracted,
        md5(array_to_string(list_transform(spans,
-           s -> concat_ws(chr(31), s.kind, s.text, s.media_ref, CAST(s."offset" AS VARCHAR))), chr(30))) AS span_digest
+           s -> concat_ws(chr(31),
+                          coalesce(s.kind, chr(29)),
+                          coalesce(s.text, chr(29)),
+                          coalesce(s.media_ref, chr(29)),
+                          coalesce(CAST(s."offset" AS VARCHAR), chr(29)))), chr(30))) AS span_digest
 FROM read_parquet('{_FIXTURES}/golden_spans_24.parquet')
 """
 

@@ -58,6 +58,9 @@ def _cell_xml(ref: str, value) -> str:
         return f'<c r="{ref}"/>'
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, float) and (value != value or value in (float("inf"), float("-inf"))):
+        # NaN/Infinity are not valid OOXML numeric cells; emit empty
+        return f'<c r="{ref}"/>'
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
@@ -101,8 +104,10 @@ def read_xlsx(path: str) -> tuple[list[str], list[tuple]]:
                     vals.append(None)
                 elif t == "b":
                     vals.append(v.text == "1")
+                elif "." not in v.text and "e" not in v.text and "E" not in v.text:
+                    # parse integer cells exactly (float() corrupts > 2^53)
+                    vals.append(int(v.text))
                 else:
-                    num = float(v.text)
-                    vals.append(int(num) if num.is_integer() and "." not in v.text else num)
+                    vals.append(float(v.text))
         out_rows.append(tuple(vals))
     return list(out_rows[0]) if out_rows else [], out_rows[1:]
