@@ -721,6 +721,59 @@ def q39_keyword_columns(spark, sf_dir):
     return classify_columns(headers)
 
 
+def _keyword_cells(spark):
+    """Deterministic long-format cells with keyword headers: 8 docs x 3
+    rows x 3 cols; row 0 is the header from _HEADER_SETS[doc%4], data rows
+    hold 'S{doc}R{row}' in col 0 and '{doc+row+col},5' elsewhere."""
+    sets = F.array(*[F.array(*[F.lit(h) for h in s]) for s in _HEADER_SETS])
+    grid = (
+        spark.range(0, 8)
+        .select(F.col("id").alias("doc_id"))
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("row_idx"))
+        .select(
+            "doc_id",
+            F.col("row_idx").cast("int").alias("row_idx"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("col_idx"),
+        )
+        .select("doc_id", "row_idx", F.col("col_idx").cast("int").alias("col_idx"))
+    )
+    header = F.element_at(
+        F.element_at(sets, (F.pmod("doc_id", F.lit(4)) + 1).cast("int")),
+        (F.col("col_idx") + 1).cast("int"),
+    )
+    value = (
+        F.when(F.col("row_idx") == 0, header)
+        .when(
+            F.col("col_idx") == 0,
+            F.concat(F.lit("S"), F.col("doc_id").cast("string"), F.lit("R"), F.col("row_idx").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                (F.col("doc_id") + F.col("row_idx") + F.col("col_idx")).cast("string"),
+                F.lit(",5"),
+            )
+        )
+    )
+    return grid.select("doc_id", "row_idx", "col_idx", value.alias("value"))
+
+
+def q42_keyword_grades(spark, sf_dir):
+    """grades_rows with keyword header classification end-to-end
+    (enhanced_table_ocr_service.py:560-591): roles from the header row
+    join back onto data rows; 'other' columns are excluded entirely."""
+    from ocr_text_recognition_spark.operators.tableops import grades_rows
+
+    out = grades_rows(_keyword_cells(spark), keyword_headers=True)
+    return out.select(
+        "doc_id",
+        "row_idx",
+        "subject",
+        "col_idx",
+        F.round("grade_num", 2).alias("grade_num"),
+        "grade_raw",
+    )
+
+
 def q41_dedup_pipeline(spark, sf_dir):
     """End-to-end near-dup dedup: MinHash signatures -> banded LSH
     candidates (est_jaccard >= 0.5) -> exact n-gram Jaccard verify with the
@@ -812,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_keyword_columns": q39_keyword_columns,
         "q40_lsh_topk_multiprobe": q40_lsh_topk_multiprobe,
         "q41_dedup_pipeline": q41_dedup_pipeline,
+        "q42_keyword_grades": q42_keyword_grades,
     }
 
 

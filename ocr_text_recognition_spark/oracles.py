@@ -634,3 +634,62 @@ exact AS (
 SELECT c.id_a, c.id_b, c.est_jaccard, ROUND(e.jaccard, 4) AS jaccard
 FROM cand c JOIN exact e USING (id_a, id_b)
 """
+
+# q42: keyword-classified grades end-to-end — header roles (same logic as
+# q39) join back onto data rows; 'other' columns are excluded.
+ORACLES["q42_keyword_grades"] = """
+WITH docs AS (SELECT unnest(generate_series(0, 7)) AS doc_id),
+rws AS (SELECT CAST(unnest(generate_series(0, 2)) AS INT) AS row_idx),
+cls AS (SELECT CAST(unnest(generate_series(0, 2)) AS INT) AS col_idx),
+cells AS (
+  SELECT doc_id, row_idx, col_idx,
+         CASE WHEN row_idx = 0 THEN
+           CASE doc_id % 4
+             WHEN 0 THEN (['Môn học', 'HK1', 'HK2'])[col_idx + 1]
+             WHEN 1 THEN (['Tên môn', 'Subject', 'Điểm'])[col_idx + 1]
+             WHEN 2 THEN (['Name', 'Score', 'Notes'])[col_idx + 1]
+             ELSE (['điểm', 'Semester', 'Final'])[col_idx + 1]
+           END
+         WHEN col_idx = 0 THEN 'S' || doc_id || 'R' || row_idx
+         ELSE CAST(doc_id + row_idx + col_idx AS VARCHAR) || ',5'
+         END AS value
+  FROM docs, rws, cls),
+hdr AS (SELECT doc_id, col_idx, value AS header FROM cells WHERE row_idx = 0),
+tagged AS (
+  SELECT doc_id, col_idx,
+         (contains(lower(trim(header)), 'môn')
+          OR contains(lower(trim(header)), 'subject')
+          OR contains(lower(trim(header)), 'tên môn')) AS subj_kw,
+         (contains(lower(trim(header)), 'hk1')
+          OR contains(lower(trim(header)), 'hk2')
+          OR contains(lower(trim(header)), 'học kỳ')
+          OR contains(lower(trim(header)), 'semester')
+          OR contains(lower(trim(header)), 'điểm')
+          OR contains(lower(trim(header)), 'grade')
+          OR contains(lower(trim(header)), 'final')
+          OR contains(lower(trim(header)), 'cuối kỳ')) AS grade_kw_raw
+  FROM hdr),
+agg AS (
+  SELECT doc_id, col_idx, subj_kw,
+         (NOT subj_kw AND grade_kw_raw) AS grade_kw,
+         max(CASE WHEN subj_kw THEN col_idx END) OVER (PARTITION BY doc_id) AS last_subj_col,
+         min(col_idx) OVER (PARTITION BY doc_id) AS min_col
+  FROM tagged),
+roles AS (
+  SELECT doc_id, col_idx,
+         CASE WHEN last_subj_col IS NULL THEN
+                CASE WHEN col_idx = min_col THEN 'subject' ELSE 'grade' END
+              WHEN col_idx = last_subj_col THEN 'subject'
+              WHEN grade_kw THEN 'grade'
+              ELSE 'other' END AS role
+  FROM agg),
+data AS (SELECT c.doc_id, c.row_idx, c.col_idx, c.value, r.role
+         FROM cells c JOIN roles r USING (doc_id, col_idx) WHERE c.row_idx > 0),
+subj AS (SELECT doc_id, row_idx, value AS subject FROM data WHERE role = 'subject'),
+gr AS (SELECT doc_id, row_idx, col_idx,
+              ROUND(TRY_CAST(regexp_replace(trim(value), ',', '.', 'g') AS DOUBLE), 2) AS grade_num,
+              value AS grade_raw
+       FROM data WHERE role = 'grade')
+SELECT s.doc_id, s.row_idx, s.subject, g.col_idx, g.grade_num, g.grade_raw
+FROM subj s JOIN gr g USING (doc_id, row_idx)
+"""
