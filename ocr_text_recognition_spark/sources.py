@@ -99,3 +99,36 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by).option("partitionOverwriteMode", "dynamic")
     w.parquet(ref)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write a bucketed (hash-clustered) table — the co-located-join scale
+    path the extraction pipeline's media join relies on at 10^12 docs
+    (extraction/pipeline.py scale notes): two tables bucketed on the same
+    key with the same bucket count join WITHOUT a shuffle on either side
+    (plan-pinned in tests/test_plans.py::test_bucketed_join_no_shuffle).
+
+    Spark bucketing requires a saveAsTable (bucket metadata lives in the
+    catalog); pass ``path`` to keep the data external at a chosen
+    location. On Iceberg deployments the analogous layout is a
+    ``bucket(n, col)`` partition transform on the table DDL.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table with its bucket metadata intact (a plain
+    spark.read.parquet(path) would lose the clustering and re-shuffle)."""
+    return spark.table(table)
