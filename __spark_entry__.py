@@ -522,6 +522,23 @@ def q30_image_metadata(spark, sf_dir):
     )
 
 
+def q43_resize_metadata(spark, sf_dir):
+    """Multimodal resize chain: resize_images (block-mean, mapInPandas) |>
+    image_metadata over the generated media pool. Oracle: frozen
+    plain-Python twin fixture (fixtures/resized_meta_16.parquet)."""
+    from ocr_text_recognition_spark import corpus
+    from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+    from ocr_text_recognition_spark.operators.multimodal import image_metadata, resize_images
+
+    _, media_pd = corpus.make_corpus(16, seed=42)
+    media = pandas_to_spark(spark, media_pd, "media")
+    resized = resize_images(media, max_side=32)
+    return image_metadata(resized).select(
+        "media_ref", "height", "width", "n_bytes",
+        F.round("ink_density", 4).alias("ink_density"), "valid",
+    )
+
+
 def q31_tokens_to_grid(spark, sf_dir):
     from ocr_text_recognition_spark.operators.sessionize import tokens_to_grid
 
@@ -866,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_lsh_topk_multiprobe": q40_lsh_topk_multiprobe,
         "q41_dedup_pipeline": q41_dedup_pipeline,
         "q42_keyword_grades": q42_keyword_grades,
+        "q43_resize_metadata": q43_resize_metadata,
     }
 
 

@@ -693,3 +693,9 @@ gr AS (SELECT doc_id, row_idx, col_idx,
 SELECT s.doc_id, s.row_idx, s.subject, g.col_idx, g.grade_num, g.grade_raw
 FROM subj s JOIN gr g USING (doc_id, row_idx)
 """
+
+ORACLES["q43_resize_metadata"] = f"""
+SELECT media_ref, height, width, n_bytes,
+       ROUND(ink_density, 4) AS ink_density, valid
+FROM read_parquet('{_FIXTURES}/resized_meta_16.parquet')
+"""

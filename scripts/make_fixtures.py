@@ -99,15 +99,56 @@ def image_meta_table(n_docs: int = 16, seed: int = 42) -> pa.Table:
     )
 
 
+def resized_meta_table(n_docs: int = 16, seed: int = 42, max_side: int = 32) -> pa.Table:
+    """Metadata of block-mean-resized images — the plain-Python twin of
+    operators.multimodal.resize_images |> image_metadata (same decode,
+    same block-mean downsample, same ink stats)."""
+    _, media_pd = corpus.make_corpus(n_docs, seed=seed)
+    from ocr_text_recognition_spark.kernel.imgcodec import encode_image
+
+    rows = []
+    for ref, content in zip(media_pd["media_ref"], media_pd["content"]):
+        img = decode_image(bytes(content))
+        f = max(1, int(np.ceil(max(img.shape) / max_side)))
+        h, w = (img.shape[0] // f) * f, (img.shape[1] // f) * f
+        small = img[:h, :w].reshape(h // f, f, w // f, f).mean(axis=(1, 3)).astype(np.uint8)
+        payload = encode_image(small)
+        rows.append(
+            {
+                "media_ref": ref,
+                "height": small.shape[0],
+                "width": small.shape[1],
+                "n_bytes": len(payload),
+                "ink_density": float((small < 128).mean()),
+                "valid": True,
+            }
+        )
+    df = pd.DataFrame(rows)
+    return pa.Table.from_arrays(
+        [
+            pa.array(df["media_ref"], pa.string()),
+            pa.array(df["height"], pa.int32()),
+            pa.array(df["width"], pa.int32()),
+            pa.array(df["n_bytes"], pa.int64()),
+            pa.array(df["ink_density"], pa.float64()),
+            pa.array(df["valid"], pa.bool_()),
+        ],
+        names=["media_ref", "height", "width", "n_bytes", "ink_density", "valid"],
+    )
+
+
 def main() -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     golden = golden_spans_table()
     pq.write_table(golden, os.path.join(FIXTURE_DIR, "golden_spans_24.parquet"))
     meta = image_meta_table()
     pq.write_table(meta, os.path.join(FIXTURE_DIR, "image_meta_16.parquet"))
+    resized = resized_meta_table()
+    pq.write_table(resized, os.path.join(FIXTURE_DIR, "resized_meta_16.parquet"))
     n_spans = sum(len(s) for s in golden.column("spans").to_pylist())
     print(f"golden_spans_24.parquet: {golden.num_rows} docs, {n_spans} spans")
     print(f"image_meta_16.parquet: {meta.num_rows} media refs")
+    print(f"resized_meta_16.parquet: {resized.num_rows} media refs")
 
 
 if __name__ == "__main__":

@@ -29,3 +29,10 @@ def test_image_meta_fixture_current():
     regenerated = image_meta_table()
     assert committed.to_pylist() == regenerated.to_pylist()
     assert all(r["valid"] for r in committed.to_pylist())
+
+
+def test_resized_meta_fixture_current():
+    from make_fixtures import resized_meta_table
+
+    committed = pq.read_table(os.path.join(FIXTURE_DIR, "resized_meta_16.parquet"))
+    assert committed.to_pylist() == resized_meta_table().to_pylist()
