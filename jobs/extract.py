@@ -26,7 +26,20 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=256)
     ap.add_argument("--buckets-per-wave", type=int, default=8)
     ap.add_argument("--run-id", default=None)
+    # kernel preprocessing for photographed/scanned corpora
+    # (enhanced_table_ocr_service.py:58-60 / ocr_model.py:66-68 semantics)
+    ap.add_argument("--binarizer", choices=["otsu", "adaptive"], default="otsu")
+    ap.add_argument("--adaptive-block", type=int, default=11)
+    ap.add_argument("--rotate-portrait", action="store_true")
     args = ap.parse_args()
+
+    preprocess_kwargs = None
+    if args.binarizer != "otsu" or args.rotate_portrait:
+        preprocess_kwargs = {
+            "binarizer": args.binarizer,
+            "adaptive_block": args.adaptive_block,
+            "rotate_portrait": args.rotate_portrait,
+        }
 
     from ocr_text_recognition_spark.extraction.checkpoint import run_with_checkpoints
     from ocr_text_recognition_spark.extraction.metrics import partition_metrics
@@ -44,6 +57,7 @@ def main() -> None:
         n_buckets=args.n_buckets,
         buckets_per_wave=args.buckets_per_wave,
         run_id=args.run_id,
+        preprocess_kwargs=preprocess_kwargs,
     )
     print(f"processed buckets: {processed}")
     if args.metrics:

@@ -52,6 +52,7 @@ def run_with_checkpoints(
     buckets_per_wave: int = 4,
     max_waves: int | None = None,
     run_id: str | None = None,
+    preprocess_kwargs: dict | None = None,
 ) -> list[int]:
     """Process the corpus bucket-wave by bucket-wave, checkpointing each.
 
@@ -79,9 +80,9 @@ def run_with_checkpoints(
     processed: list[int] = []
     for wave in waves:
         wave_docs = docs_b.filter(F.col("bucket").isin(wave))
-        result = run_extraction(spark, wave_docs.drop("bucket"), media).withColumn(
-            "bucket", bucket_of(F.col("doc_id"), n_buckets)
-        )
+        result = run_extraction(
+            spark, wave_docs.drop("bucket"), media, preprocess_kwargs=preprocess_kwargs
+        ).withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
         # Whole-directory overwrite per bucket == idempotent re-run.
         (
             result.repartition("bucket")

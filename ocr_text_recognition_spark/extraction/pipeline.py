@@ -126,6 +126,7 @@ def run_extraction(
     n_salt: int = DEFAULT_N_SALT,
     persist_media_locators: bool = True,
     input_partitions: int | None = None,
+    preprocess_kwargs: dict | None = None,
 ) -> DataFrame:
     """Full pipeline: documents + media -> extracted documents.
 
@@ -142,6 +143,10 @@ def run_extraction(
     (the SURVEY §3.4 'repartition by salted doc_id hash' stage). Leave None
     when the source is already well-split (bucketed Iceberg / many files);
     set it when reading few fat files so the UDF stages fan out.
+
+    ``preprocess_kwargs``: kernel preprocessing overrides shipped into the
+    media UDF (e.g. {'binarizer': 'adaptive', 'rotate_portrait': True}
+    for photographed/scanned corpora); None keeps the default Otsu chain.
     """
     if input_partitions:
         docs = docs.repartition(input_partitions, "doc_id")
@@ -169,10 +174,16 @@ def run_extraction(
     # Repartition the payloads (post-join, pre-UDF): partitions must be
     # sized by kernel COMPUTE, not bytes, or AQE coalesces the UDF stage.
     payloads = distinct_refs.join(media, "media_ref", "left").repartition(parallelism)
+    if preprocess_kwargs:
+        from ocr_text_recognition_spark.extraction.udfs import make_extract_ref_udf
+
+        ref_udf = make_extract_ref_udf(**preprocess_kwargs)
+    else:
+        ref_udf = extract_ref_udf
     ref_text = payloads.select(
         "kind",
         "media_ref",
-        extract_ref_udf(F.col("kind"), F.col("content")).alias("text"),
+        ref_udf(F.col("kind"), F.col("content")).alias("text"),
     )
     spans_ref_out = spans_ref.join(ref_text, ["kind", "media_ref"], "left").select(
         "doc_id",

@@ -68,20 +68,36 @@ def parse_pdf_layout_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield s.map(parse_pdf)
 
 
-@pandas_udf(StringType())
-def extract_ref_udf(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-    """(kind, payload) -> text, dispatching per span kind inside the batch:
-    'media' through the OCR kernel, 'pdf' through the layout parser. Lets
-    media and pdf spans share ONE distinct-ref pass + join instead of one
-    subtree per kind (one fewer documents scan, ~4 fewer stages)."""
-    _, recognize, parse_pdf = _engine()
-    for kinds, payloads in batches:
-        out = []
-        for kind, payload in zip(kinds, payloads):
-            if payload is None:
-                out.append("")
-            elif kind == "pdf":
-                out.append(parse_pdf(payload))
-            else:
-                out.append(recognize(payload))
-        yield pd.Series(out, dtype="object")
+def make_extract_ref_udf(**preprocess_kwargs):
+    """Build the (kind, payload) -> text dispatch UDF with optional kernel
+    preprocessing overrides (binarizer='adaptive', adaptive_block=...,
+    rotate_portrait=True — see kernel.reference_kernel.preprocess_image).
+    The kwargs are captured in the closure and shipped to executors via
+    cloudpickle, so a photographed/scanned deployment selects the adaptive
+    threshold without touching the pipeline code."""
+
+    @pandas_udf(StringType())
+    def _extract_ref_udf(
+        batches: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        _, recognize, parse_pdf = _engine()
+        for kinds, payloads in batches:
+            out = []
+            for kind, payload in zip(kinds, payloads):
+                if payload is None:
+                    out.append("")
+                elif kind == "pdf":
+                    out.append(parse_pdf(payload))
+                else:
+                    out.append(recognize(payload, **preprocess_kwargs))
+            yield pd.Series(out, dtype="object")
+
+    return _extract_ref_udf
+
+
+# Default instance (Otsu chain): (kind, payload) -> text, dispatching per
+# span kind inside the batch: 'media' through the OCR kernel, 'pdf'
+# through the layout parser. Lets media and pdf spans share ONE
+# distinct-ref pass + join instead of one subtree per kind (one fewer
+# documents scan, ~4 fewer stages).
+extract_ref_udf = make_extract_ref_udf()

@@ -75,3 +75,33 @@ def test_missing_media_ref_yields_empty_text(spark):
         ("media", "", "nope", 0),
         ("text", "some real content here", "", 1),
     ]
+
+
+def test_preprocess_kwargs_flow_to_media_udf(spark, small_corpus):
+    """run_extraction(preprocess_kwargs={'binarizer': 'adaptive'}) must
+    apply the adaptive chain inside the Arrow UDF: per-ref output equals
+    the plain-Python kernel called with the same kwargs."""
+    from ocr_text_recognition_spark.extraction.pipeline import run_extraction
+    from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+    from ocr_text_recognition_spark.kernel import reference_kernel
+
+    docs_pd, media_pd, _ = small_corpus
+    docs = pandas_to_spark(spark, docs_pd, "documents")
+    media = pandas_to_spark(spark, media_pd, "media")
+    out = run_extraction(
+        spark, docs, media, preprocess_kwargs={"binarizer": "adaptive"}
+    ).collect()
+
+    media_bytes = dict(zip(media_pd["media_ref"], media_pd["content"]))
+    want_cache = {}
+    for r in out:
+        for s in r["spans"]:
+            if s["kind"] != "media":
+                continue
+            ref = s["media_ref"]
+            if ref not in want_cache:
+                want_cache[ref] = reference_kernel.recognize_media_bytes(
+                    media_bytes.get(ref), binarizer="adaptive"
+                )
+            assert s["text"] == want_cache[ref], ref
+    assert want_cache, "corpus contained no media spans"
