@@ -839,6 +839,50 @@ def q41_dedup_pipeline(spark, sf_dir):
     )
 
 
+def q44_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the training-data op for
+    balancing a corpus across strata (here: predicted language): per
+    stratum, take the first K docs in md5(doc_id) order. Hash-ordered
+    row_number instead of RNG sampling so the sample is reproducible
+    across engines, runs, and cluster sizes (and DuckDB-verifiable)."""
+    from ocr_text_recognition_spark.operators.textanalysis import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    w = Window.partitionBy("lang_pred").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang_pred", "rn")
+    )
+
+
+def q45_clean_corpus(spark, sf_dir):
+    """C4-family corpus cleaning composed from the text-analysis operators:
+    exact-dedup survivor selection (min doc_id per whitespace/case
+    fingerprint) intersected with a quality floor. One fingerprint shuffle
+    + one window — the cheapest possible full-corpus cleaning pass."""
+    from ocr_text_recognition_spark.operators.textanalysis import (
+        fingerprint,
+        quality_score,
+    )
+
+    docs = _dup_documents(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("quality") >= 0.5))
+        .select("doc_id", "fp", F.round("quality", 2).alias("quality"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -884,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_dedup_pipeline": q41_dedup_pipeline,
         "q42_keyword_grades": q42_keyword_grades,
         "q43_resize_metadata": q43_resize_metadata,
+        "q44_stratified_sample": q44_stratified_sample,
+        "q45_clean_corpus": q45_clean_corpus,
     }
 
 

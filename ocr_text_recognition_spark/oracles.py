@@ -699,3 +699,44 @@ SELECT media_ref, height, width, n_bytes,
        ROUND(ink_density, 4) AS ink_density, valid
 FROM read_parquet('{_FIXTURES}/resized_meta_16.parquet')
 """
+
+# q44: deterministic stratified sample — per predicted language, first 50
+# docs in md5(doc_id) order (reuses the q22 lang classification).
+ORACLES["q44_stratified_sample"] = f"""
+WITH toks AS ({_toks("SELECT doc_id, text FROM documents")}),
+scored AS (SELECT t.doc_id, {", ".join(f"{_hits(l)} AS h_{l}" for l in _STOPLISTS)},
+                  len(regexp_extract_all(d.text, '[一-鿿]')) > 0 AS cjk
+           FROM toks t JOIN documents d USING (doc_id)),
+pick AS (SELECT doc_id,
+  CASE WHEN cjk THEN 'zh'
+       WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+       WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+  FROM scored),
+ranked AS (SELECT doc_id, lang_pred,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang_pred
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+           FROM pick)
+SELECT doc_id, lang_pred, rn FROM ranked WHERE rn <= 50
+"""
+
+# q45: corpus cleaning — exact-dedup survivors (min doc per fingerprint)
+# with a quality floor, over the duplicated corpus.
+ORACLES["q45_clean_corpus"] = f"""
+WITH base AS ({_DUP_DOCS}),
+t AS (SELECT doc_id, text,
+             list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM base),
+scored AS (SELECT doc_id,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+  CAST(CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN length(text) * 1.0 / greatest(len(toks), 1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN {_hits("en")} >= 2 THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality
+  FROM t),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM scored)
+SELECT doc_id, fp, ROUND(quality, 2) AS quality
+FROM ranked WHERE rn = 1 AND quality >= 0.5
+"""
