@@ -847,14 +847,28 @@ def q44_stratified_sample(spark, sf_dir):
     across engines, runs, and cluster sizes (and DuckDB-verifiable)."""
     from ocr_text_recognition_spark.operators.textanalysis import lang_id
 
+    k = 50
     docs = _t(spark, sf_dir, "documents")
     tagged = docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
-    w = Window.partitionBy("lang_pred").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    # Two-level top-K: with ~6 strata a single window would funnel the
+    # whole corpus through 6 reducer sorts. Phase 1 ranks within
+    # (stratum, salt) partitions and keeps each partition's top K —
+    # leaving <= K * n_salt survivors per stratum — and phase 2 ranks
+    # those. The md5 order is deterministic, so the final sample is
+    # byte-identical to the single-window form at any cluster size.
+    n_salt = 16
+    salted = tagged.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(n_salt)))
+    w1 = Window.partitionBy("lang_pred", "salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("prn", F.row_number().over(w1))
+        .filter(F.col("prn") <= k)
+        .drop("prn", "salt")
     )
+    w2 = Window.partitionBy("lang_pred").orderBy(*order)
     return (
-        tagged.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50)
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
         .select("doc_id", "lang_pred", "rn")
     )
 

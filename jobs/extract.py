@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--rotate-portrait", action="store_true")
     args = ap.parse_args()
 
+    if args.adaptive_block != 11 and args.binarizer != "adaptive":
+        ap.error("--adaptive-block requires --binarizer adaptive")
     preprocess_kwargs = None
     if args.binarizer != "otsu" or args.rotate_portrait:
         preprocess_kwargs = {
