@@ -129,3 +129,12 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_refs_b")
         spark.sql("DROP TABLE IF EXISTS t_media_b")
+
+
+def test_sampling_and_cleaning_plans(spark, entry):
+    """q44/q45 are pure SQL with WindowGroupLimit applied (rank<=K pushed
+    below the final sort) and zero Python nodes."""
+    for name in ("q44_stratified_sample", "q45_clean_corpus"):
+        plan = _plan(entry.queries()[name](spark, SF_DIR))
+        assert "WindowGroupLimit" in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
