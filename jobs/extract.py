@@ -31,16 +31,25 @@ def main() -> None:
     ap.add_argument("--binarizer", choices=["otsu", "adaptive"], default="otsu")
     ap.add_argument("--adaptive-block", type=int, default=11)
     ap.add_argument("--rotate-portrait", action="store_true")
+    ap.add_argument("--denoise", choices=["median", "morph"], default="median")
+    ap.add_argument("--sharpen-first", action="store_true")
     args = ap.parse_args()
 
     if args.adaptive_block != 11 and args.binarizer != "adaptive":
         ap.error("--adaptive-block requires --binarizer adaptive")
     preprocess_kwargs = None
-    if args.binarizer != "otsu" or args.rotate_portrait:
+    if (
+        args.binarizer != "otsu"
+        or args.rotate_portrait
+        or args.denoise != "median"
+        or args.sharpen_first
+    ):
         preprocess_kwargs = {
             "binarizer": args.binarizer,
             "adaptive_block": args.adaptive_block,
             "rotate_portrait": args.rotate_portrait,
+            "denoise": args.denoise,
+            "sharpen_first": args.sharpen_first,
         }
 
     from ocr_text_recognition_spark.extraction.checkpoint import run_with_checkpoints

@@ -32,6 +32,8 @@ def preprocess_image(
     binarizer: str = "otsu",
     adaptive_block: int = 11,
     rotate_portrait: bool = False,
+    denoise: str = "median",
+    sharpen_first: bool = False,
 ) -> np.ndarray:
     """Raw image -> cleaned, deskewed, despeckled binary ink mask.
 
@@ -44,18 +46,29 @@ def preprocess_image(
     ``rotate_portrait``: opt-in 90-degree rotation of portrait images
     (ocr_model.py:66-68) for photo-capture deployments; off by default
     because the synthetic corpus renders true text geometry.
+    ``denoise``: 'median' (default — ocr_model.py:82 medianBlur) or
+    'morph' (the enhanced table chain's close 3x3 + open 2x2,
+    enhanced_table_ocr_service.py:63-69).
+    ``sharpen_first``: apply the 3x3 sharpen filter to the grayscale
+    before blur+binarize (table_ocr_service.py:112-126 preprocessing
+    variant for low-contrast scans); off by default.
 
     Despeckling (connected-component area filter) runs ONCE here rather
     than per text line / per table cell — one labeling pass per image."""
     if rotate_portrait:
         img = imageops.rotate90_if_portrait(img)
     gray = imageops.to_grayscale(img)
+    if sharpen_first:
+        gray = imageops.sharpen(gray)
     blur = imageops.gaussian_blur(gray, ksize=5, sigma=1.0)
     if binarizer == "adaptive":
         mask = imageops.adaptive_binarize(blur, block=adaptive_block, c=2.0)
     else:
         mask = imageops.otsu_binarize(blur)
-    mask = imageops.median3(mask)
+    if denoise == "morph":
+        mask = imageops.morph_open(imageops.morph_close(mask, 3, 3), 2, 2)
+    else:
+        mask = imageops.median3(mask)
     mask = imageops.deskew(mask)
     from ocr_text_recognition_spark.kernel import segment
 

@@ -106,3 +106,37 @@ def test_recognize_media_bytes_kwargs_passthrough():
     payload = encode_image(grad)
     via_adaptive = reference_kernel.recognize_media_bytes(payload, binarizer="adaptive")
     assert _cer("SPARK SCAN", via_adaptive) < 0.2
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"denoise": "morph"},
+        {"sharpen_first": True},
+        {"sharpen_first": True, "denoise": "morph"},
+    ],
+)
+def test_enhanced_chain_variants_exact(kwargs):
+    """The reference's enhanced-chain stages (morph close 3x3 + open 2x2,
+    enhanced_table_ocr_service.py:63-69; sharpen filter,
+    table_ocr_service.py:112-126) are selectable and lossless on clean
+    renders."""
+    img = render.render_text_image(LINES)
+    mask = reference_kernel.preprocess_image(img, **kwargs)
+    assert recognize.recognize_text(mask) == EXPECTED
+
+
+def test_enhanced_chain_table_roundtrip():
+    """Full enhanced preset (adaptive block=15 + morph denoise) recovers a
+    ruled grade table exactly."""
+    from ocr_text_recognition_spark.kernel import tableparse
+
+    rows = [["Subject", "HK1", "HK2"], ["Math", "8.5", "9,0"]]
+    img = render.render_table_image(rows)
+    mask = reference_kernel.preprocess_image(
+        img, binarizer="adaptive", adaptive_block=15, denoise="morph"
+    )
+    assert tableparse.extract_table(mask) == [
+        ["SUBJECT", "HK1", "HK2"],
+        ["MATH", "8.5", "9,0"],
+    ]
