@@ -897,6 +897,26 @@ def q45_clean_corpus(spark, sf_dir):
     )
 
 
+def q46_metadata_diacritics(spark, sf_dir):
+    """The reference's REAL metadata pattern table end-to-end
+    (table_ocr_service.py:452-479): diacritic Vietnamese first alternates,
+    the second alternates (Học sinh/Student -> name, Khối/Grade -> class),
+    the optional [\\s:]* separator, and ordered first-match-wins — over a
+    fixture whose rows exercise each shape (fixtures_meta.METADATA_DOCS,
+    shared verbatim with the DuckDB oracle)."""
+    from ocr_text_recognition_spark.fixtures_meta import METADATA_DOCS
+    from ocr_text_recognition_spark.operators.textops import (
+        METADATA_PATTERNS,
+        extract_metadata_field,
+    )
+
+    df = spark.createDataFrame(METADATA_DOCS, "doc_id int, txt string")
+    return df.select(
+        "doc_id",
+        *[extract_metadata_field(F.col("txt"), f).alias(f) for f in METADATA_PATTERNS],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -944,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_resize_metadata": q43_resize_metadata,
         "q44_stratified_sample": q44_stratified_sample,
         "q45_clean_corpus": q45_clean_corpus,
+        "q46_metadata_diacritics": q46_metadata_diacritics,
     }
 
 

@@ -252,11 +252,19 @@ def estimate_shear_slope_milli(mask: np.ndarray) -> int:
     for sm in range(-DESKEW_MAX_SLOPE, DESKEW_MAX_SLOPE + 1, DESKEW_COARSE_STEP):
         scores[sm] = _score(sm)
     coarse_best = max(scores, key=lambda s: (scores[s], -abs(s)))
-    lo = coarse_best - DESKEW_REFINE_SPAN
-    hi = coarse_best + DESKEW_REFINE_SPAN
-    for sm in range(lo, hi + 1, DESKEW_STEP):
-        if sm not in scores and -DESKEW_MAX_SLOPE <= sm <= DESKEW_MAX_SLOPE:
-            scores[sm] = _score(sm)
+    # Refine around every coarse peak within the 0.5% tie band of the best
+    # (not only the argmax): a non-unimodal sharpness surface — periodic
+    # vertical patterns, two competing stroke families — can put the true
+    # fine-grid optimum next to the SECOND coarse peak. Cost stays ~flat
+    # (the band usually holds one peak; each extra peak adds <= 4 probes).
+    best_coarse_score = scores[coarse_best]
+    refine_centers = [
+        sm for sm, sc in scores.items() if sc >= best_coarse_score * 0.995
+    ]
+    for center in refine_centers:
+        for sm in range(center - DESKEW_REFINE_SPAN, center + DESKEW_REFINE_SPAN + 1, DESKEW_STEP):
+            if sm not in scores and -DESKEW_MAX_SLOPE <= sm <= DESKEW_MAX_SLOPE:
+                scores[sm] = _score(sm)
     # Scores within 0.5% of the max are statistically indistinguishable
     # (binarization noise on anti-aliased step edges); among those
     # near-ties choose the SMALLEST |slope| — the least destructive

@@ -37,6 +37,10 @@ def _max_run_per_col(block: np.ndarray) -> np.ndarray:
     run extents come from one diff, and a grouped max assigns each run's
     length to its column (no per-row Python; ~2x the rolling-max loop)."""
     h, w = block.shape
+    if w == 0:
+        # zero-width block: no columns, no runs (the rolling-max loop's
+        # empty-array contract — flat[0] below would raise otherwise)
+        return np.zeros(0, dtype=np.int32)
     padded = np.zeros((h + 1, w), dtype=bool)
     padded[:h] = block.astype(bool, copy=False)
     flat = padded.T.ravel()

@@ -37,16 +37,42 @@ def grade_cast(c: Column) -> Column:
 
 
 # Field -> ordered alternate patterns; first non-empty group(1) wins.
-# English/Vietnamese-keyword patterns mirroring the reference's table
-# (diacritic-free forms — the glyph atlas is ASCII; the reference's exact
-# Vietnamese strings are at table_ocr_service.py:452-473).
+# The leading patterns are the reference's table VERBATIM — diacritic
+# Vietnamese forms, the second alternates (Học sinh/Student, Khối/Grade),
+# the optional [\s:]* separator, and the ordered first-match-wins loop
+# (table_ocr_service.py:452-479). Trailing patterns are this repo's
+# diacritic-free ASCII supplements (colon REQUIRED, so bare substrings
+# like 'ten' in 'often' cannot fire) for the builtin ASCII glyph atlas.
+# Case folding note: (?i) folds ASCII in both Spark (Java regex) and the
+# DuckDB oracle (RE2); non-ASCII case folding differs per engine, so
+# fixtures use the canonical casing the reference's patterns spell out.
 METADATA_PATTERNS: dict[str, list[str]] = {
-    "student_name": [r"(?i)(?:ho ten|ten|name)\s*[:]\s*([^\n]+)"],
-    "class_name": [r"(?i)(?:lop|class)\s*[:]\s*([^\n]+)"],
-    "school": [r"(?i)(?:truong|school)\s*[:]\s*([^\n]+)"],
-    "subject": [r"(?i)(?:mon|subject)\s*[:]\s*([^\n]+)"],
-    "semester": [r"(?i)(?:hoc ky|hk|semester)\s*[:]\s*([^\n]+)"],
-    "year": [r"(?i)(?:nam hoc|year)\s*[:]\s*([0-9]{4}(?:\s*-\s*[0-9]{4})?)"],
+    "student_name": [
+        r"(?i)(?:Tên|Họ tên|Name)[\s:]*([^\n\r]+)",
+        r"(?i)(?:Học sinh|Student)[\s:]*([^\n\r]+)",
+        r"(?i)(?:ho ten|ten)\s*[:]\s*([^\n\r]+)",
+    ],
+    "class_name": [
+        r"(?i)(?:Lớp|Class)[\s:]*([^\n\r]+)",
+        r"(?i)(?:Khối|Grade)[\s:]*([^\n\r]+)",
+        r"(?i)(?:lop|khoi)\s*[:]\s*([^\n\r]+)",
+    ],
+    "school": [
+        r"(?i)(?:Trường|School)[\s:]*([^\n\r]+)",
+        r"(?i)(?:truong)\s*[:]\s*([^\n\r]+)",
+    ],
+    "subject": [
+        r"(?i)(?:Môn|Subject)[\s:]*([^\n\r]+)",
+        r"(?i)(?:mon)\s*[:]\s*([^\n\r]+)",
+    ],
+    "semester": [
+        r"(?i)(?:Học kỳ|Semester)[\s:]*([^\n\r]+)",
+        r"(?i)(?:hoc ky|hk)\s*[:]\s*([^\n\r]+)",
+    ],
+    "year": [
+        r"(?i)(?:Năm học|Academic year)[\s:]*([^\n\r]+)",
+        r"(?i)(?:nam hoc|year)\s*[:]\s*([0-9]{4}(?:\s*-\s*[0-9]{4})?)",
+    ],
 }
 
 

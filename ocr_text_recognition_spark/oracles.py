@@ -139,16 +139,52 @@ SELECT doc_id,
 FROM cells GROUP BY doc_id
 """
 
-ORACLES["q09_metadata_extract"] = """
+# Metadata-field extraction SQL is GENERATED from the same pattern table
+# the Spark operator reads (textops.METADATA_PATTERNS), so the two sides
+# cannot drift. Pattern syntax ((?i), (?:..|..), [\s:]*, [^\n\r]+) is the
+# shared Java-regex/RE2 subset; DuckDB single-quoted strings pass
+# backslashes through verbatim.
+from ocr_text_recognition_spark.operators.textops import METADATA_PATTERNS
+
+
+def _meta_field_sql(field: str, txt: str = "txt") -> str:
+    alts = [
+        f"NULLIF(TRIM(regexp_extract({txt}, '{pat}', 1)), '')"
+        for pat in METADATA_PATTERNS[field]
+    ]
+    return alts[0] if len(alts) == 1 else f"COALESCE({', '.join(alts)})"
+
+
+ORACLES["q09_metadata_extract"] = f"""
 WITH t AS (SELECT c_custkey,
                   'Name: ' || c_name || chr(10) || 'Class: ' || c_mktsegment || chr(10) || 'Year: 2025-2026' AS txt
            FROM customer)
 SELECT c_custkey,
-       NULLIF(TRIM(regexp_extract(txt, '(?i)(?:ho ten|ten|name)\\s*[:]\\s*([^\\n]+)', 1)), '') AS student_name,
-       NULLIF(TRIM(regexp_extract(txt, '(?i)(?:lop|class)\\s*[:]\\s*([^\\n]+)', 1)), '') AS class_name,
-       NULLIF(TRIM(regexp_extract(txt, '(?i)(?:truong|school)\\s*[:]\\s*([^\\n]+)', 1)), '') AS school,
-       NULLIF(TRIM(regexp_extract(txt, '(?i)(?:nam hoc|year)\\s*[:]\\s*([0-9]{4}(?:\\s*-\\s*[0-9]{4})?)', 1)), '') AS year
+       {_meta_field_sql("student_name")} AS student_name,
+       {_meta_field_sql("class_name")} AS class_name,
+       {_meta_field_sql("school")} AS school,
+       {_meta_field_sql("year")} AS year
 FROM t
+"""
+
+def _meta_values_sql() -> str:
+    """fixtures_meta.METADATA_DOCS as a DuckDB VALUES list (newlines via
+    chr(10) so the SQL stays single-line-literal safe)."""
+    from ocr_text_recognition_spark.fixtures_meta import METADATA_DOCS
+
+    rows = []
+    for i, txt in METADATA_DOCS:
+        parts = " || chr(10) || ".join(
+            "'" + seg.replace("'", "''") + "'" for seg in txt.split("\n")
+        )
+        rows.append(f"({i}, {parts})")
+    return ", ".join(rows)
+
+
+ORACLES["q46_metadata_diacritics"] = f"""
+SELECT doc_id,
+       {", ".join(f'{_meta_field_sql(f)} AS {f}' for f in METADATA_PATTERNS)}
+FROM (VALUES {_meta_values_sql()}) AS t(doc_id, txt)
 """
 
 ORACLES["q10_grade_cast"] = """

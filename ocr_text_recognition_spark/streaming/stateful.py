@@ -64,6 +64,13 @@ def _make_assemble(orphan_timeout_ms: int):
                     refs.append(None if pd.isna(r.media_ref) else r.media_ref)
                     offsets.append(int(r.offset))
         if done:
+            if not offsets and not state.exists:
+                # An eof with zero accumulated spans and no standing state
+                # is a post-expiry straggler (the doc's spans were dropped
+                # when its state timed out): suppress emission entirely so
+                # downstream never sees a phantom empty document. Live
+                # documents always carry >= 1 span before their eof.
+                return
             order = sorted(range(len(offsets)), key=offsets.__getitem__)
             spans = [
                 {"kind": kinds[i], "text": texts[i], "media_ref": refs[i], "offset": offsets[i]}
@@ -91,8 +98,11 @@ def assemble_spans_stream(
     never arrives (crawler died mid-doc, or a span arrived after its
     doc's eof and recreated state) — without it, such groups accumulate
     forever in a long-running stream. Expired docs are dropped, not
-    emitted partially: the input contract is at-least-once spans + exactly
-    one eof per doc, so a missing eof means the doc is incomplete.
+    emitted partially: the input contract is >= 1 span + exactly one eof
+    per doc (at-least-once delivery), so a missing eof means the doc is
+    incomplete. An eof arriving AFTER expiry (zero accumulated spans, no
+    standing state) emits nothing at all — the doc vanishes rather than
+    surfacing as a phantom empty document.
     """
     return spans_stream.groupBy("doc_id").applyInPandasWithState(
         _make_assemble(orphan_timeout_ms),

@@ -13,9 +13,15 @@ results); the scale path stays parquet.
 
 from __future__ import annotations
 
+import re
 import zipfile
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
+
+# Characters outside the XML 1.0 valid set (\x09 \x0a \x0d and >= \x20 are
+# legal; everything else in C0 is not, even escaped). A cell containing one
+# would otherwise produce a .xlsx that Excel/openpyxl/ElementTree reject.
+_XML_INVALID = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 _CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
@@ -63,7 +69,8 @@ def _cell_xml(ref: str, value) -> str:
         return f'<c r="{ref}"/>'
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
+    cleaned = _XML_INVALID.sub("", str(value))
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(cleaned)}</t></is></c>'
 
 
 def write_xlsx(path: str, columns: list[str], rows: list[tuple]) -> None:

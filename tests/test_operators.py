@@ -391,3 +391,41 @@ def test_lsh_topk_multiprobe_recall(spark):
     # measured on this fixture: exact-bucket 0.325, multi-probe 0.900
     assert r_probe >= r_exact + 0.3
     assert r_probe >= 0.8, (r_exact, r_probe)
+
+
+def test_metadata_reference_pattern_table(spark):
+    """The reference's verbatim pattern table (table_ocr_service.py:452-479):
+    diacritic first alternates, the Học sinh/Khối second alternates, and
+    the separator-less [\\s:]* form — expected values spelled out so an
+    oracle that is wrong the same way cannot mask a regression."""
+    from ocr_text_recognition_spark.fixtures_meta import METADATA_DOCS
+    from ocr_text_recognition_spark.operators.textops import extract_metadata
+
+    df = spark.createDataFrame(METADATA_DOCS, "doc_id int, txt string")
+    rows = {
+        r["doc_id"]: r["m"].asDict()
+        for r in df.select("doc_id", extract_metadata(F.col("txt")).alias("m")).collect()
+    }
+    assert rows[1] == {
+        "student_name": "Nguyễn Văn A", "class_name": "10A1",
+        "school": "THPT Chu Văn An", "subject": "Toán",
+        "semester": "1", "year": "2024-2025",
+    }
+    # second alternates: Học sinh -> student_name, Khối -> class_name
+    assert rows[2] == {
+        "student_name": "Trần Thị B", "class_name": "11", "school": None,
+        "subject": "Physics", "semester": "2", "year": "2023-2024",
+    }
+    # bare 'Year:' is NOT a reference pattern; the ASCII fallback catches it
+    assert rows[3] == {
+        "student_name": "John Smith", "class_name": "12C",
+        "school": "Springfield High", "subject": None,
+        "semester": None, "year": "2022-2023",
+    }
+    assert rows[4]["student_name"] == "Lê Văn C"
+    assert rows[4]["class_name"] == "9"  # Grade second alternate
+    assert rows[4]["subject"] == "Văn"
+    # [\s:]* makes the colon optional (reference semantics)
+    assert rows[5]["student_name"] == "Pham Van D"
+    assert rows[5]["class_name"] == "8"
+    assert all(v is None for v in rows[6].values())

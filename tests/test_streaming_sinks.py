@@ -231,8 +231,8 @@ def test_stateful_orphan_state_expires(spark, tmp_path):
     """A doc whose eof never arrives must not leak state forever: with a
     short processing-time timeout its state expires between micro-batches
     and the doc is never emitted. An eof arriving AFTER expiry finds no
-    state and emits the doc with whatever arrived post-expiry (here:
-    nothing) — pinning the documented drop semantics."""
+    state and zero spans, so it emits NOTHING — the expired doc vanishes
+    entirely instead of surfacing as a phantom empty document."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -279,5 +279,6 @@ def test_stateful_orphan_state_expires(spark, tmp_path):
     }
     assert got["docA"] == [("text", "hello")]
     assert got["docB"] == [("text", "world")]
-    # the orphan's pre-expiry span is GONE; its late eof emits an empty doc
-    assert got.get("orphan", []) == []
+    # the orphan's pre-expiry span is GONE and its late eof is suppressed:
+    # no row at all for the expired doc (not even an empty-span one)
+    assert "orphan" not in got
