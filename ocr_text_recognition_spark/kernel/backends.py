@@ -16,6 +16,23 @@ from ocr_text_recognition_spark.kernel import reference_kernel
 
 Recognizer = Callable[[bytes], str]
 
+# Import-probe results memoized ONCE PER PROCESS (the probe-once shape the
+# language probe in _try_tesseract uses): rebuilding the factory closure on
+# every image would re-run the import machinery per UDF invocation across
+# millions of cells. Keyed by engine name; value is the run closure or None.
+_PROBE_CACHE: dict[str, object] = {}
+
+
+def _probe_once(name: str, factory):
+    if name not in _PROBE_CACHE:
+        _PROBE_CACHE[name] = factory()
+    return _PROBE_CACHE[name]
+
+
+def _reset_probe_cache() -> None:
+    """Test hook: forget cached probes (fake-module injection tests)."""
+    _PROBE_CACHE.clear()
+
 
 def _try_tesseract() -> Recognizer | None:
     try:
@@ -131,6 +148,55 @@ def _try_tesseract_tokens() -> TokenRecognizer | None:
     return run
 
 
+# The reference groups EasyOCR tokens into rows with a slightly larger
+# y-gap than the Tesseract path ("slightly larger for EasyOCR",
+# table_ocr_service.py:402) — callers pass this to tokens_to_grid(y_gap=).
+EASYOCR_ROW_GAP = 30
+
+# Token-box confidence gate for EasyOCR results (reference
+# table_ocr_service.py:376: confidence > 0.5 and text.strip()).
+EASYOCR_TOKEN_MIN_CONF = 0.5
+
+
+def _try_easyocr_tokens() -> TokenRecognizer | None:
+    """EasyOCR token-box fallback (reference _extract_table_with_easyocr,
+    table_ocr_service.py:354-390): each readtext 4-point bbox is reduced to
+    (left, top, width, height) ints exactly as :377-390 — min/max over the
+    corner coordinates — with the conf>0.5 + non-blank filter. Emits the
+    SAME dict shape as the Tesseract twin, so tokens_to_grid (y_gap=
+    EASYOCR_ROW_GAP) works on EasyOCR-only deployments."""
+    try:
+        import easyocr  # noqa: F401
+    except ImportError:
+        return None
+
+    _reader = []  # per-process singleton (ocr_model.py:26-31 pattern)
+
+    def run(data: bytes) -> list[dict]:
+        import easyocr
+
+        if not _reader:
+            _reader.append(easyocr.Reader(["en", "vi"], gpu=False))
+        out = []
+        for bbox, text, conf in _reader[0].readtext(bytes(data)):
+            if conf > EASYOCR_TOKEN_MIN_CONF and text.strip():
+                xs = [p[0] for p in bbox]
+                ys = [p[1] for p in bbox]
+                out.append(
+                    {
+                        "text": text.strip(),
+                        "left": int(min(xs)),
+                        "top": int(min(ys)),
+                        "width": int(max(xs) - min(xs)),
+                        "height": int(max(ys) - min(ys)),
+                        "conf": float(conf),
+                    }
+                )
+        return out
+
+    return run
+
+
 def _try_tesseract_cell() -> Recognizer | None:
     """Per-cell recognizer: --psm 8 (single word/line) with the Vietnamese
     character whitelist (reference enhanced_table_ocr_service.py:249-252)."""
@@ -157,25 +223,34 @@ def _try_tesseract_cell() -> Recognizer | None:
 def tokens_from_bytes(data: bytes | None) -> list[dict] | None:
     """Token boxes for an image payload, or None when no token-box engine
     is installed (callers then use the builtin kernel's own segmentation).
-    The returned dicts plug straight into tokens_to_grid's
-    (doc_id, top, left, text) input after adding the doc key."""
+    Chain mirrors the reference: Tesseract image_to_data first, EasyOCR
+    bbox reduction on Tesseract error/absence (table_ocr_service.py:
+    204-219 fallback, :354-390 EasyOCR path). The returned dicts plug
+    straight into tokens_to_grid's (doc_id, top, left, text) input after
+    adding the doc key. Probes are memoized once per process."""
     if not data:
         return []
-    fn = _try_tesseract_tokens()
-    if fn is None:
-        return None
-    try:
-        return fn(bytes(data))
-    except Exception:
-        return None
+    for name, factory in (
+        ("tesseract_tokens", _try_tesseract_tokens),
+        ("easyocr_tokens", _try_easyocr_tokens),
+    ):
+        fn = _probe_once(name, factory)
+        if fn is None:
+            continue
+        try:
+            return fn(bytes(data))
+        except Exception:
+            continue
+    return None
 
 
 def recognize_cell_bytes(data: bytes | None) -> str | None:
     """Whitelisted per-cell text, or None when no external engine (callers
-    fall back to the builtin glyph recognizer)."""
+    fall back to the builtin glyph recognizer). Probe memoized once per
+    process."""
     if not data:
         return ""
-    fn = _try_tesseract_cell()
+    fn = _probe_once("tesseract_cell", _try_tesseract_cell)
     if fn is None:
         return None
     try:

@@ -134,3 +134,89 @@ def test_token_paths_none_without_engine():
     assert backends.recognize_cell_bytes(b"img") is None
     assert backends.tokens_from_bytes(None) == []
     assert backends.recognize_cell_bytes(b"") == ""
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _fresh_backend_probes():
+    """Probe results are memoized per process; fake-module injection tests
+    need a clean slate before AND after (so a cached fake never leaks into
+    other test modules)."""
+    backends._reset_probe_cache()
+    yield
+    backends._reset_probe_cache()
+
+
+def _install_fake_easyocr(monkeypatch, calls):
+    """Inject a fake easyocr module returning reference-shaped readtext
+    results: (4-point bbox, text, confidence) tuples."""
+    import sys
+    import types
+
+    fake = types.ModuleType("easyocr")
+
+    class Reader:
+        def __init__(self, langs, gpu=False):
+            calls.append(("init", tuple(langs)))
+
+        def readtext(self, data):
+            calls.append(("readtext", bytes(data)))
+            return [
+                # skewed quad: left/top from min, width/height from max-min
+                ([[10.2, 12.9], [62.0, 11.0], [61.0, 27.0], [11.0, 26.0]], " Math ", 0.95),
+                ([[200, 10], [230, 10], [230, 24], [200, 24]], "8,5", 0.88),
+                ([[5, 90], [14, 90], [14, 99], [5, 99]], "junk", 0.4),   # conf <= 0.5
+                ([[300, 9], [330, 9], [330, 25], [300, 25]], "   ", 0.99),  # blank
+            ]
+
+    fake.Reader = Reader
+    monkeypatch.setitem(sys.modules, "easyocr", fake)
+
+
+def test_easyocr_token_boxes_contract(monkeypatch):
+    """EasyOCR token-box fallback (reference table_ocr_service.py:354-390):
+    4-point bbox -> (left, top, width, height) via min/max reduction,
+    conf>0.5 + non-blank filter, same dict shape as the Tesseract twin.
+    No pytesseract in this container, so the chain falls through to the
+    injected fake easyocr."""
+    calls = []
+    _install_fake_easyocr(monkeypatch, calls)
+    toks = backends.tokens_from_bytes(b"img")
+    assert [t["text"] for t in toks] == ["Math", "8,5"]
+    # exact reference reduction: int(min(x)), int(min(y)), int(max-min)
+    assert toks[0] == {
+        "text": "Math", "left": 10, "top": 11, "width": 51, "height": 16, "conf": 0.95,
+    }
+    assert toks[1] == {
+        "text": "8,5", "left": 200, "top": 10, "width": 30, "height": 14, "conf": 0.88,
+    }
+    assert calls[0] == ("init", ("en", "vi"))
+    # reader is a per-process singleton: second call reuses it
+    backends.tokens_from_bytes(b"img2")
+    assert sum(1 for c in calls if c[0] == "init") == 1
+    # grid integration point: the reference's larger EasyOCR row gap
+    assert backends.EASYOCR_ROW_GAP == 30
+
+
+def test_token_probe_memoized_once_per_process(monkeypatch):
+    """tokens_from_bytes / recognize_cell_bytes must not rebuild their
+    factory per call: the import probe runs exactly once per process."""
+    probes = {"tokens": 0, "cell": 0}
+    real_tokens, real_cell = backends._try_tesseract_tokens, backends._try_tesseract_cell
+
+    def counting_tokens():
+        probes["tokens"] += 1
+        return real_tokens()
+
+    def counting_cell():
+        probes["cell"] += 1
+        return real_cell()
+
+    monkeypatch.setattr(backends, "_try_tesseract_tokens", counting_tokens)
+    monkeypatch.setattr(backends, "_try_tesseract_cell", counting_cell)
+    for _ in range(3):
+        backends.tokens_from_bytes(b"x")
+        backends.recognize_cell_bytes(b"x")
+    assert probes == {"tokens": 1, "cell": 1}
