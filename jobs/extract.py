@@ -33,6 +33,7 @@ def main() -> None:
     ap.add_argument("--rotate-portrait", action="store_true")
     ap.add_argument("--denoise", choices=["median", "morph"], default="median")
     ap.add_argument("--sharpen-first", action="store_true")
+    ap.add_argument("--deskew", choices=["shear", "rotation"], default="shear")
     args = ap.parse_args()
 
     if args.adaptive_block != 11 and args.binarizer != "adaptive":
@@ -43,6 +44,7 @@ def main() -> None:
         or args.rotate_portrait
         or args.denoise != "median"
         or args.sharpen_first
+        or args.deskew != "shear"
     ):
         preprocess_kwargs = {
             "binarizer": args.binarizer,
@@ -50,6 +52,7 @@ def main() -> None:
             "rotate_portrait": args.rotate_portrait,
             "denoise": args.denoise,
             "sharpen_first": args.sharpen_first,
+            "deskew": args.deskew,
         }
 
     from ocr_text_recognition_spark.extraction.checkpoint import run_with_checkpoints

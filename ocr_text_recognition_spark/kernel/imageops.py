@@ -302,3 +302,93 @@ def deskew(mask: np.ndarray) -> np.ndarray:
     if abs(sm) < 3:
         return mask
     return unshear(mask, sm)
+
+
+# ---------------------------------------------------------------- rotation
+# True small-angle rotation deskew — the reference's minAreaRect angle +
+# warpAffine semantic (/root/reference/src/services/table_ocr_service.py:
+# 73-110), which displaces y as well as x; the shear model above cannot
+# express that. Angle unit: millidegrees. Search window covers the scan
+# skew the reference corrects (its minAreaRect path mostly sees a few
+# degrees); the dead-band mirrors the reference's `abs(angle) > 0.5`.
+ROTATION_MAX_MILLIDEG = 5000
+ROTATION_COARSE_STEP = 500
+ROTATION_FINE_STEP = 100
+ROTATION_DEAD_BAND_MILLIDEG = 500
+
+
+def rotate_mask(mask: np.ndarray, millideg: int, fill: int = 0) -> np.ndarray:
+    """Rotate 2-D CONTENT by millideg/1000 degrees about the center
+    (positive = text lines tilt down to the right in image coords),
+    nearest-neighbor inverse mapping on the same-size canvas — the
+    warpAffine analog for binary masks (cubic interpolation is meaningless
+    on {0,1}). ``fill`` paints out-of-frame samples: 0 (background) for
+    ink masks; pass the page background level when rotating grayscale
+    (replicating edge ink would smear strokes, so no BORDER_REPLICATE)."""
+    if millideg == 0:
+        return mask.copy()
+    h, w = mask.shape
+    t = np.deg2rad(millideg / 1000.0)
+    c, s = np.cos(t), np.sin(t)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = np.mgrid[0:h, 0:w]
+    dx, dy = xx - cx, yy - cy
+    xs = np.rint(c * dx + s * dy + cx).astype(np.int64)
+    ys = np.rint(-s * dx + c * dy + cy).astype(np.int64)
+    valid = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    out = np.full_like(mask, fill)
+    out[valid] = mask[ys[valid], xs[valid]]
+    return out
+
+
+def estimate_rotation_millideg(mask: np.ndarray) -> int:
+    """Estimate the rotation applied to an ink mask.
+
+    For each candidate angle, rotate ink-pixel coordinates and score the
+    sharpness of the ROW projection (sum of squared per-row counts) —
+    maximal when horizontal text lines re-align. Same coarse-to-fine +
+    0.5%-tie-band machinery as the shear estimator; returns the angle r
+    such that the mask looks like content rotated by r (so the inverse
+    correction is rotate_mask(mask, -r))."""
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return 0
+    ysf = ys.astype(np.float64)
+    xsf = xs.astype(np.float64)
+
+    def _score(md: int) -> float:
+        t = np.deg2rad(md / 1000.0)
+        yp = np.round(np.cos(t) * ysf - np.sin(t) * xsf).astype(np.int64)
+        yp -= yp.min()
+        counts = np.bincount(yp)
+        return float((counts.astype(np.float64) ** 2).sum())
+
+    scores: dict[int, float] = {}
+    for md in range(-ROTATION_MAX_MILLIDEG, ROTATION_MAX_MILLIDEG + 1, ROTATION_COARSE_STEP):
+        scores[md] = _score(md)
+    best_coarse = max(scores.values())
+    centers = [md for md, sc in scores.items() if sc >= best_coarse * 0.995]
+    span = ROTATION_COARSE_STEP  # past the coarse half-step on both sides
+    for center in centers:
+        for md in range(center - span, center + span + 1, ROTATION_FINE_STEP):
+            if md not in scores and -ROTATION_MAX_MILLIDEG <= md <= ROTATION_MAX_MILLIDEG:
+                scores[md] = _score(md)
+    # Final pick is a PURE argmax (deterministic smaller-|angle| tie-break)
+    # — unlike the shear estimator's 0.5% plateau rule, which here would
+    # systematically bias the angle toward zero by up to 1.5 fine steps
+    # and leave residual skew that matters at the far edge of wide lines.
+    # Flat-surface inputs (single glyphs) are protected by the 0.5 deg
+    # dead-band in derotate instead: sub-degree rotations of a 9px glyph
+    # displace corners < 0.5px, a near-no-op.
+    return max(scores, key=lambda m: (scores[m], -abs(m), -m))
+
+
+def derotate(mask: np.ndarray) -> np.ndarray:
+    """Estimate + invert true rotation, dead-band 0.5 deg (the reference's
+    `if abs(angle) > 0.5` gate, table_ocr_service.py:103). The opt-in
+    deskew for genuinely rotated scans; the default shear path stays
+    exactly invertible for the synthetic corpus."""
+    r = estimate_rotation_millideg(mask)
+    if abs(r) <= ROTATION_DEAD_BAND_MILLIDEG:
+        return mask
+    return rotate_mask(mask, -r)

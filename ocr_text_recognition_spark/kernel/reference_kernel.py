@@ -34,6 +34,7 @@ def preprocess_image(
     rotate_portrait: bool = False,
     denoise: str = "median",
     sharpen_first: bool = False,
+    deskew: str = "shear",
 ) -> np.ndarray:
     """Raw image -> cleaned, deskewed, despeckled binary ink mask.
 
@@ -52,6 +53,11 @@ def preprocess_image(
     ``sharpen_first``: apply the 3x3 sharpen filter to the grayscale
     before blur+binarize (table_ocr_service.py:112-126 preprocessing
     variant for low-contrast scans); off by default.
+    ``deskew``: 'shear' (default — integer-shear model, exactly invertible
+    and fixture-exact for the synthetic corpus) or 'rotation' (true
+    small-angle rotation estimate + inverse, the reference's
+    minAreaRect+warpAffine semantic, table_ocr_service.py:73-110 — the
+    choice for genuinely rotated scans, where y displaces too).
 
     Despeckling (connected-component area filter) runs ONCE here rather
     than per text line / per table cell — one labeling pass per image."""
@@ -69,7 +75,10 @@ def preprocess_image(
         mask = imageops.morph_open(imageops.morph_close(mask, 3, 3), 2, 2)
     else:
         mask = imageops.median3(mask)
-    mask = imageops.deskew(mask)
+    if deskew == "rotation":
+        mask = imageops.derotate(mask)
+    else:
+        mask = imageops.deskew(mask)
     from ocr_text_recognition_spark.kernel import segment
 
     return segment.remove_specks(mask)
