@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "q38_pdf_reading_order",
     "q40_lsh_topk_multiprobe",
     "q41_dedup_pipeline",
+    "q44_stratified_sample",
     "q45_clean_corpus",
 ]
 

@@ -48,22 +48,56 @@ def _stopword_hits(text: Column, words: list[str]) -> Column:
 
 
 def lang_scores(text: Column) -> Column:
-    """Struct of per-language stopword-hit counts."""
-    return F.struct(
-        *[_stopword_hits(text, ws).alias(lang) for lang, ws in LANG_STOPWORDS.items()]
-    )
+    """Struct of per-language stopword-hit counts, accumulated in ONE pass
+    over a single tokens array (one lower+split per row; each token does
+    |languages| set-membership tests inside the same fold) instead of one
+    split + filter pass per language."""
+    langs = list(LANG_STOPWORDS)
+    zero = F.struct(*[F.lit(0).alias(lang) for lang in langs])
+    wordsets = {
+        lang: F.array(*[F.lit(w) for w in ws]) for lang, ws in LANG_STOPWORDS.items()
+    }
+
+    def step(acc, tok):
+        return F.struct(
+            *[
+                (acc[lang] + F.array_contains(wordsets[lang], tok).cast("int")).alias(lang)
+                for lang in langs
+            ]
+        )
+
+    return F.aggregate(tokens(text), zero, step)
 
 
 def lang_id(text: Column) -> Column:
     """argmax language, with a CJK-codepoint check first (zh has no
-    whitespace stopwords) and 'und' when no evidence at all."""
+    whitespace stopwords) and 'und' when no evidence at all. The argmax
+    (ties broken by LANG_STOPWORDS order) runs inside the aggregate's
+    finish lambda, so the whole classification is one tokens fold —
+    q22's bench drift traced to the old per-language filter passes."""
     has_cjk = F.regexp_count(text, F.lit(r"[一-鿿]")) > 0
-    scores = [(lang, _stopword_hits(text, ws)) for lang, ws in LANG_STOPWORDS.items()]
-    best = F.greatest(*[s for _, s in scores])
-    pick = F.coalesce(
-        *[F.when((s == best) & (best > 0), F.lit(lang)) for lang, s in scores],
-        F.lit("und"),
-    )
+    langs = list(LANG_STOPWORDS)
+    zero = F.struct(*[F.lit(0).alias(lang) for lang in langs])
+    wordsets = {
+        lang: F.array(*[F.lit(w) for w in ws]) for lang, ws in LANG_STOPWORDS.items()
+    }
+
+    def step(acc, tok):
+        return F.struct(
+            *[
+                (acc[lang] + F.array_contains(wordsets[lang], tok).cast("int")).alias(lang)
+                for lang in langs
+            ]
+        )
+
+    def finish(acc):
+        best = F.greatest(*[acc[lang] for lang in langs])
+        return F.coalesce(
+            *[F.when((acc[lang] == best) & (best > 0), F.lit(lang)) for lang in langs],
+            F.lit("und"),
+        )
+
+    pick = F.aggregate(tokens(text), zero, step, finish)
     return F.when(has_cjk, F.lit("zh")).otherwise(pick)
 
 
