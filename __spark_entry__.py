@@ -917,6 +917,30 @@ def q46_metadata_diacritics(spark, sf_dir):
     )
 
 
+def q47_incremental_lsh(spark, sf_dir):
+    """Incremental dedup: a NEW ingest batch (exact copies of doc_id<20,
+    shifted ids) band-joined against the STANDING corpus's signatures —
+    no corpus self-join, no corpus re-signature (the production shape:
+    corpus signatures are a stored table; tests/test_plans.py pins the
+    scan-only property). Every new doc must surface its original as an
+    est_jaccard=1.0 candidate."""
+    from ocr_text_recognition_spark.operators.dedup import (
+        lsh_candidate_pairs_incremental,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus_sigs = minhash_signatures(docs, "doc_id", "text", num_perm=8)
+    new_sigs = minhash_signatures(new, "doc_id", "text", num_perm=8)
+    out = lsh_candidate_pairs_incremental(new_sigs, corpus_sigs, num_perm=8, bands=4)
+    return out.select(
+        "new_id", "corpus_id", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -965,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_stratified_sample": q44_stratified_sample,
         "q45_clean_corpus": q45_clean_corpus,
         "q46_metadata_diacritics": q46_metadata_diacritics,
+        "q47_incremental_lsh": q47_incremental_lsh,
     }
 
 

@@ -103,6 +103,66 @@ def lsh_candidate_pairs(
     )
 
 
+def _banded(signatures: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, mh_*) -> one row per (id, band_id, bkey): the narrow band-key
+    projection + explode shared by the self-join and incremental paths."""
+    rows_per_band = num_perm // bands
+    band_keys = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "id", *[F.col(f"mh_{i}") for i in range(num_perm)], *band_keys
+    ).select(
+        "id",
+        *[F.col(f"mh_{i}") for i in range(num_perm)],
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("bkey")) for b in range(bands)])
+        ).alias("band"),
+    ).select("id", *[f"mh_{i}" for i in range(num_perm)], "band.band_id", "band.bkey")
+
+
+def lsh_candidate_pairs_incremental(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Incremental dedup candidates: band-join a NEW batch's signatures
+    against the STANDING corpus's stored signatures — the per-ingest shape
+    a 100 TB training pipeline needs. The corpus side is a scan of the
+    signature table materialized at ingest time plus a narrow band-key
+    projection: the corpus is never re-shingled and never self-joined
+    (tests/test_plans.py pins the no-recompute property by feeding both
+    sides from parquet). Emits (new_id, corpus_id, est_jaccard); no id
+    ordering constraint — the two sides are disjoint id universes. At
+    scale the small new batch makes the join broadcast-eligible on the
+    new side; AQE picks that up from runtime sizes."""
+    a = _banded(new_sigs, num_perm, bands).select(
+        F.col("id").alias("new_id"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_perm)],
+        "band_id",
+        "bkey",
+    )
+    b = _banded(corpus_sigs, num_perm, bands).select(
+        F.col("id").alias("corpus_id"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_perm)],
+        "band_id",
+        "bkey",
+    )
+    joined = a.join(b, ["band_id", "bkey"])
+    match_frac = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_perm)
+    ) / F.lit(float(num_perm))
+    return (
+        joined.select("new_id", "corpus_id", match_frac.alias("est_jaccard"))
+        .groupBy("new_id", "corpus_id")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over whitespace tokens: bit j = sign of the sum over
     tokens of (bit_j(md5_16(token)) * 2 - 1)."""

@@ -334,6 +334,33 @@ p AS (SELECT a.id AS id_a, b2.id AS id_b,
 SELECT id_a, id_b, ROUND(cos, 5) AS cos_r FROM p WHERE cos >= 0.999
 """
 
+# Incremental LSH (q47): the new batch is exact copies of doc_id<20 with
+# shifted ids, so its minhash signatures EQUAL the originals' — the oracle
+# derives nsig from sig instead of re-hashing (minhash depends on text only).
+ORACLES["q47_incremental_lsh"] = f"""
+WITH toks AS ({_toks("SELECT doc_id, text FROM documents")}),
+sh AS ({_shingles("SELECT * FROM toks")}),
+sig AS ({_minhash_select(8)} FROM sh GROUP BY doc_id),
+nsig AS (SELECT id + 100000 AS id, {", ".join(f"mh_{i}" for i in range(8))} FROM sig WHERE id < 20),
+band_c AS (
+  SELECT id, 0 AS band_id, md5(mh_0 || '|' || mh_1) AS bkey FROM sig
+  UNION ALL SELECT id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+  UNION ALL SELECT id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+  UNION ALL SELECT id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+),
+band_n AS (
+  SELECT id, 0 AS band_id, md5(mh_0 || '|' || mh_1) AS bkey FROM nsig
+  UNION ALL SELECT id, 1, md5(mh_2 || '|' || mh_3) FROM nsig
+  UNION ALL SELECT id, 2, md5(mh_4 || '|' || mh_5) FROM nsig
+  UNION ALL SELECT id, 3, md5(mh_6 || '|' || mh_7) FROM nsig
+),
+pairs AS (SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+          FROM band_n n JOIN band_c c ON n.band_id = c.band_id AND n.bkey = c.bkey)
+SELECT p.new_id, p.corpus_id,
+       ROUND(({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(8))}) / 8.0, 4) AS est_jaccard
+FROM pairs p JOIN nsig sa ON sa.id = p.new_id JOIN sig sb ON sb.id = p.corpus_id
+"""
+
 _STOPLISTS = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],

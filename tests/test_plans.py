@@ -138,3 +138,45 @@ def test_sampling_and_cleaning_plans(spark, entry):
         plan = _plan(entry.queries()[name](spark, SF_DIR))
         assert "WindowGroupLimit" in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_incremental_lsh_corpus_scan_only(spark, tmp_path):
+    """The incremental dedup path must never recompute signatures: with
+    both sides read from stored signature tables, the plan contains ZERO
+    shingle/minhash machinery (no regexp split, no explode-of-shingles
+    aggregate) — just scans, the band-key projection + explode, one join,
+    one aggregate. This is the property that makes per-ingest dedup
+    affordable at a standing 100 TB corpus."""
+    from pyspark.sql import functions as F
+
+    from ocr_text_recognition_spark.operators.dedup import (
+        lsh_candidate_pairs_incremental,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    corp_path = str(tmp_path / "corpus_sigs")
+    new_path = str(tmp_path / "new_sigs")
+    minhash_signatures(docs, "doc_id", "text", num_perm=8).write.parquet(corp_path)
+    minhash_signatures(
+        docs.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 90000).alias("doc_id"), "text"
+        ),
+        "doc_id",
+        "text",
+        num_perm=8,
+    ).write.parquet(new_path)
+
+    out = lsh_candidate_pairs_incremental(
+        spark.read.parquet(new_path), spark.read.parquet(corp_path), num_perm=8, bands=4
+    )
+    plan = _plan(out)
+    # no re-signature: the shingle pipeline's fingerprints are absent
+    for marker in ("split(", "regexp", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
+    # exactly the two signature-table scans, no self-join fan-out
+    # (formatted explain prints each node twice: tree + details)
+    assert plan.count("Scan parquet") == 4
+    # the candidates are correct: every new doc finds its original
+    got = {(r["new_id"], r["corpus_id"]) for r in out.collect() if r["est_jaccard"] == 1.0}
+    assert {(90000 + i, i) for i in range(5)} <= got
