@@ -941,6 +941,44 @@ def q47_incremental_lsh(spark, sf_dir):
     )
 
 
+def _cells_mixed(spark, sf_dir):
+    """_cells variant whose row mapping is shifted by doc_id, so row 0 of
+    even docs lands on even event_ids (numeric values -> Column_{i}
+    fallback) and row 0 of odd docs on odd event_ids (text values ->
+    header promotion) — both assemble_wide_table branches exercised."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.pmod("user_id", F.lit(10)).alias("doc_id"),
+        F.pmod(F.col("event_id") + F.pmod("user_id", F.lit(10)), F.lit(4))
+        .cast("int")
+        .alias("row_idx"),
+        F.pmod(F.col("event_id") + 1, F.lit(3)).cast("int").alias("col_idx"),
+    ).agg(
+        F.max_by(
+            F.when(
+                F.pmod("event_id", F.lit(2)) == 0,
+                F.format_number(F.round("value", 2), 2),
+            ).otherwise(F.col("event_type")),
+            F.col("event_id"),
+        ).alias("value")
+    )
+
+
+def q48_assembled_wide_table(spark, sf_dir):
+    """Header promotion end-to-end (the reference's
+    _create_dataframe_from_table_data + _is_header_row,
+    table_ocr_service.py:284-336): pad to max width, promote the first
+    row iff most of its padded cells are non-empty non-numeric, else
+    Column_{i+1}. Cells are sparsified deterministically so the ''
+    padding path is genuinely exercised; doc parity selects the branch."""
+    from ocr_text_recognition_spark.operators.tableops import assemble_wide_table
+
+    sparse = _cells_mixed(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id") + F.col("row_idx") + F.col("col_idx"), F.lit(7)) != 0
+    )
+    return assemble_wide_table(sparse)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -990,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_clean_corpus": q45_clean_corpus,
         "q46_metadata_diacritics": q46_metadata_diacritics,
         "q47_incremental_lsh": q47_incremental_lsh,
+        "q48_assembled_wide_table": q48_assembled_wide_table,
     }
 
 

@@ -113,6 +113,86 @@ def synthetic_col_names(n: int | None = None):
     )
 
 
+def assemble_wide_table(cells: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """The reference's full tabularization step in one operator
+    (_create_dataframe_from_table_data + _is_header_row,
+    /root/reference/src/services/table_ocr_service.py:284-336): pad every
+    doc's grid to its max width with '', then promote the first row to
+    column names iff the table has >1 row AND most padded first-row cells
+    are non-empty non-numeric (`cell and not _is_numeric(cell)` — the
+    UN-trimmed truthiness test, so padded '' cells count against the
+    majority); otherwise synthesize Column_{i+1} names and keep row 0 as
+    data.
+
+    Long-format in (doc, row_idx, col_idx, value; holes allowed), long
+    out: (doc, row_out, col_idx, col_name, value, has_header). Shuffle
+    shape: one per-doc dims aggregate, a sequence-explode slot expansion
+    (no extra shuffle — reuses the doc partitioning), one left join to
+    fill holes, and two doc-keyed broadcast-sized joins (header flag, one
+    row per doc; header names, one row per (doc, col))."""
+    dims = cells.groupBy(doc_col).agg(
+        (F.max("col_idx") + 1).cast("int").alias("max_cols"),
+        (F.max("row_idx") + 1).cast("int").alias("n_rows"),
+    )
+    slots = (
+        dims.select(
+            doc_col, "max_cols", "n_rows",
+            F.explode(F.sequence(F.lit(0), F.col("n_rows") - 1)).alias("row_idx"),
+        )
+        .select(
+            doc_col, "max_cols", "n_rows",
+            F.col("row_idx").cast("int").alias("row_idx"),
+            F.explode(F.sequence(F.lit(0), F.col("max_cols") - 1)).alias("col_idx"),
+        )
+        .select(
+            doc_col, "max_cols", "n_rows", "row_idx",
+            F.col("col_idx").cast("int").alias("col_idx"),
+        )
+    )
+    padded = slots.join(cells, [doc_col, "row_idx", "col_idx"], "left").select(
+        doc_col, "max_cols", "n_rows", "row_idx", "col_idx",
+        F.coalesce(F.col("value"), F.lit("")).alias("value"),
+    )
+    flag = (
+        padded.filter(F.col("row_idx") == 0)
+        .groupBy(doc_col, "max_cols", "n_rows")
+        .agg(
+            F.sum(
+                ((F.col("value") != "") & (~is_numeric(F.col("value")))).cast("int")
+            ).alias("text_count")
+        )
+        .select(
+            doc_col,
+            (
+                (F.col("n_rows") > 1) & (F.col("text_count") * 2 > F.col("max_cols"))
+            ).alias("has_header"),
+        )
+    )
+    names = padded.filter(F.col("row_idx") == 0).select(
+        doc_col, "col_idx", F.col("value").alias("header_val")
+    )
+    return (
+        padded.join(flag, doc_col)
+        .join(names, [doc_col, "col_idx"])
+        .filter((~F.col("has_header")) | (F.col("row_idx") > 0))
+        .select(
+            doc_col,
+            F.when(F.col("has_header"), F.col("row_idx") - 1)
+            .otherwise(F.col("row_idx"))
+            .cast("int")
+            .alias("row_out"),
+            "col_idx",
+            F.when(F.col("has_header"), F.col("header_val"))
+            .otherwise(
+                F.concat(F.lit("Column_"), (F.col("col_idx") + 1).cast("string"))
+            )
+            .alias("col_name"),
+            "value",
+            "has_header",
+        )
+    )
+
+
 def grades_rows(
     cells: DataFrame, doc_col: str = "doc_id", keyword_headers: bool = False
 ) -> DataFrame:

@@ -221,6 +221,52 @@ SELECT s.doc_id, s.row_idx, s.subject, g.col_idx, g.grade_num, g.grade_raw
 FROM subj s JOIN gr g USING (doc_id, row_idx)
 """
 
+_CELLS_MIXED = """
+SELECT user_id % 10 AS doc_id,
+       CAST((event_id + user_id % 10) % 4 AS INT) AS row_idx,
+       CAST((event_id + 1) % 3 AS INT) AS col_idx,
+       arg_max(CASE WHEN event_id % 2 = 0 THEN format('{:.2f}', ROUND(value, 2))
+                    ELSE event_type END, event_id) AS value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+# is_numeric twin (q08's form) over a padded cell value
+_IS_NUM = (
+    "(length(regexp_replace(trim(value), '[,%]', '', 'g')) > 0 "
+    "AND TRY_CAST(regexp_replace(trim(value), '[,%]', '', 'g') AS DOUBLE) IS NOT NULL)"
+)
+
+ORACLES["q48_assembled_wide_table"] = f"""
+WITH cells AS ({_CELLS_MIXED}),
+sparse AS (SELECT * FROM cells WHERE (doc_id + row_idx + col_idx) % 7 <> 0),
+dims AS (SELECT doc_id, CAST(MAX(col_idx) + 1 AS INT) AS max_cols,
+                CAST(MAX(row_idx) + 1 AS INT) AS n_rows
+         FROM sparse GROUP BY doc_id),
+slots AS (SELECT d.doc_id, d.max_cols, d.n_rows,
+                 CAST(t1.r AS INT) AS row_idx, CAST(t2.c AS INT) AS col_idx
+          FROM dims d,
+               UNNEST(generate_series(0, d.n_rows - 1)) AS t1(r),
+               UNNEST(generate_series(0, d.max_cols - 1)) AS t2(c)),
+padded AS (SELECT s.doc_id, s.max_cols, s.n_rows, s.row_idx, s.col_idx,
+                  COALESCE(sp.value, '') AS value
+           FROM slots s LEFT JOIN sparse sp USING (doc_id, row_idx, col_idx)),
+flag AS (SELECT doc_id,
+                (MAX(n_rows) > 1 AND
+                 SUM(CASE WHEN value <> '' AND NOT {_IS_NUM} THEN 1 ELSE 0 END) * 2
+                   > MAX(max_cols)) AS has_header
+         FROM padded WHERE row_idx = 0 GROUP BY doc_id),
+names AS (SELECT doc_id, col_idx, value AS header_val FROM padded WHERE row_idx = 0)
+SELECT p.doc_id,
+       CAST(CASE WHEN f.has_header THEN p.row_idx - 1 ELSE p.row_idx END AS INT) AS row_out,
+       p.col_idx,
+       CASE WHEN f.has_header THEN n.header_val
+            ELSE 'Column_' || CAST(p.col_idx + 1 AS VARCHAR) END AS col_name,
+       p.value, f.has_header
+FROM padded p JOIN flag f USING (doc_id) JOIN names n USING (doc_id, col_idx)
+WHERE (NOT f.has_header) OR p.row_idx > 0
+"""
+
 ORACLES["q13_broadcast_join_revenue"] = """
 SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey

@@ -429,3 +429,42 @@ def test_metadata_reference_pattern_table(spark):
     assert rows[5]["student_name"] == "Pham Van D"
     assert rows[5]["class_name"] == "8"
     assert all(v is None for v in rows[6].values())
+
+
+def test_assemble_wide_table_reference_semantics(spark):
+    """_create_dataframe_from_table_data + _is_header_row end-to-end
+    (table_ocr_service.py:284-336): header promotion (majority non-empty
+    non-numeric over the PADDED first row), Column_{i} fallback, ''
+    padding of holes, and the single-row no-promotion rule."""
+    from ocr_text_recognition_spark.operators.tableops import assemble_wide_table
+
+    cells = spark.createDataFrame(
+        [
+            # doc h: text header row, 2 data rows, a hole at (1,2)
+            ("h", 0, 0, "Subject"), ("h", 0, 1, "HK1"), ("h", 0, 2, "HK2"),
+            ("h", 1, 0, "Math"), ("h", 1, 1, "8.5"),
+            ("h", 2, 0, "Art"), ("h", 2, 1, "7"), ("h", 2, 2, "9"),
+            # doc n: numeric first row -> no promotion
+            ("n", 0, 0, "1"), ("n", 0, 1, "2"),
+            ("n", 1, 0, "3"), ("n", 1, 1, "x"),
+            # doc s: single row, text -> still no promotion (>1 row rule)
+            ("s", 0, 0, "Alpha"), ("s", 0, 1, "Beta"),
+        ],
+        "doc_id string, row_idx int, col_idx int, value string",
+    )
+    out = assemble_wide_table(cells).collect()
+    got = {
+        (r["doc_id"], r["row_out"], r["col_idx"]): (r["col_name"], r["value"], r["has_header"])
+        for r in out
+    }
+    # doc h: promoted; hole at (1,2) padded to ''
+    assert got[("h", 0, 0)] == ("Subject", "Math", True)
+    assert got[("h", 0, 2)] == ("HK2", "", True)
+    assert got[("h", 1, 1)] == ("HK1", "7", True)
+    assert len([k for k in got if k[0] == "h"]) == 6  # 2 data rows x 3 cols
+    # doc n: row 0 numeric-majority -> kept as data under Column_{i}
+    assert got[("n", 0, 0)] == ("Column_1", "1", False)
+    assert got[("n", 1, 1)] == ("Column_2", "x", False)
+    # doc s: single text row -> no promotion
+    assert got[("s", 0, 1)] == ("Column_2", "Beta", False)
+    assert len(got) == 6 + 4 + 2
