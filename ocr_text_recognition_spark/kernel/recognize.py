@@ -72,17 +72,6 @@ def _template_tensor() -> tuple[np.ndarray, np.ndarray, int, np.ndarray]:
     return t, widths, wmax, np.asarray(labels, dtype=np.int64)
 
 
-@lru_cache(maxsize=1)
-def _template_mat() -> tuple[np.ndarray, np.ndarray]:
-    """(templates flattened to (n, H*Wmax) float64, per-template ink counts)
-    for the matmul scoring path: pixel agreement with a 0/1 canvas is
-    equal = size - (tpl_ink + canvas_ink - 2*dot), so ONE matvec replaces
-    the (n, H, W) broadcast equality + mean. float64 keeps the integer
-    counts exact, so scores are byte-identical to the broadcast form."""
-    t, _, _, _ = _template_tensor()
-    mat = t.reshape(t.shape[0], -1).astype(np.float64)
-    return mat, mat.sum(axis=1)
-
 
 @lru_cache(maxsize=1)
 def _exact_lookup() -> dict[bytes, int]:
@@ -126,20 +115,6 @@ def _bbox_template_tensor() -> tuple[np.ndarray, np.ndarray, dict[bytes, int]]:
     return t, dims, exact
 
 
-@lru_cache(maxsize=1)
-def _bbox_template_mats() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(templates float64, row-flipped-within-own-height templates float64,
-    per-template ink counts) for the bbox dot-product scoring: flipping
-    each template inside its own bbox height makes bottom-alignment a
-    top-aligned dot against the row-flipped canvas."""
-    t, dims, _ = _bbox_template_tensor()
-    tf = t.astype(np.float64)
-    tflip = np.zeros_like(tf)
-    for i in range(t.shape[0]):
-        h_i = int(dims[i, 0])
-        tflip[i, :h_i] = tf[i, h_i - 1 :: -1]
-    return tf, tflip, tf.sum(axis=(1, 2))
-
 
 def _classify_bbox(cell: np.ndarray) -> tuple[str, float]:
     """Position-free classification by ink bounding box — used when the
@@ -155,25 +130,21 @@ def _classify_bbox(cell: np.ndarray) -> tuple[str, float]:
         return GLYPHS[hit], 1.0
     ch = max(bb.shape[0], t.shape[1])
     cw = max(bb.shape[1], t.shape[2])
-    canvas = np.zeros((ch, cw), dtype=np.float64)
+    canvas = np.zeros((ch, cw), dtype=np.int8)
     canvas[: bb.shape[0], : bb.shape[1]] = bb
     # score each template at BOTH top- and bottom-aligned placements and
     # keep the better: glyphs that hang below the baseline (',') only
     # match their tail when bottom-aligned, while top-alignment would
-    # let a smaller dense glyph ('.') absorb the body and win. Scored via
-    # the dot-product identity (equal = size - tpl_ink - canvas_ink +
-    # 2*overlap) so no (n, ch, cw) broadcast is materialized; the
-    # bottom-aligned overlap equals the top-aligned overlap of the
-    # per-template row-flipped tensor against the row-flipped canvas.
-    th, tw = t.shape[1], t.shape[2]
-    tf, tflipf, tpl_ink = _bbox_template_mats()
-    size = float(ch * cw)
-    c_ink = float(canvas.sum())
-    dot_top = np.einsum("nij,ij->n", tf, canvas[:th, :tw])
-    dot_bot = np.einsum("nij,ij->n", tflipf, canvas[::-1][:th, :tw])
+    # let a smaller dense glyph ('.') absorb the body and win
+    tt_top = np.zeros((t.shape[0], ch, cw), dtype=np.int8)
+    tt_top[:, : t.shape[1], : t.shape[2]] = t
+    tt_bot = np.zeros((t.shape[0], ch, cw), dtype=np.int8)
+    for i in range(t.shape[0]):
+        h_i = int(dims[i, 0])
+        tt_bot[i, ch - h_i : ch, : t.shape[2]] = t[i, :h_i, :]
     agree = np.maximum(
-        (size - (tpl_ink + c_ink - 2.0 * dot_top)) / size,
-        (size - (tpl_ink + c_ink - 2.0 * dot_bot)) / size,
+        (tt_top == canvas[None, :, :]).mean(axis=(1, 2)),
+        (tt_bot == canvas[None, :, :]).mean(axis=(1, 2)),
     )
     # Near-ties (blur drift on small glyphs makes pixel agreement alone
     # ambiguous: a blurred ',' scores identically to '.') break by ink
@@ -228,22 +199,22 @@ def _classify_uncached(cell: np.ndarray) -> tuple[str, float]:
     hit = _exact_lookup().get(cell.astype(np.uint8).tobytes())
     if hit is not None:
         return GLYPHS[hit], 1.0
-    # Logits: agreement with every template on a common canvas of width
-    # max(w, wmax); both sides zero-padded, so extra ink on either side
-    # counts against the score symmetrically. Computed via the dot-product
-    # identity (equal = size - tpl_ink - canvas_ink + 2*overlap): one
-    # matvec against the prebuilt (n, H*Wmax) template matrix instead of
-    # materializing an (n, H, cw) broadcast equality. float64 keeps the
-    # integer counts exact -> scores byte-identical to the broadcast form.
+    # Logits: agreement with every template in one vectorized comparison on
+    # a common canvas of width max(w, wmax); both sides zero-padded, so
+    # extra ink on either side counts against the score symmetrically.
+    # (A BLAS matvec form of this was tried and reverted: tiny-matrix
+    # matmul is pathological on this box — per-call thread spin-up costs
+    # ~25x the broadcast compare. The memo above makes cold-path cost
+    # mostly irrelevant anyway.)
     cw = max(w, wmax)
-    mat, tpl_ink = _template_mat()
-    region = np.zeros((RGLYPH_H, wmax), dtype=np.float64)
-    k = min(w, wmax)
-    region[:, :k] = cell[:, :k]
-    dot = mat @ region.ravel()
-    size = float(RGLYPH_H * cw)
-    c_ink = float(cell.sum())
-    agree = (size - (tpl_ink + c_ink - 2.0 * dot)) / size
+    canvas = np.zeros((RGLYPH_H, cw), dtype=np.int8)
+    canvas[:, :w] = cell
+    if cw == wmax:
+        tt = templates
+    else:
+        tt = np.zeros((templates.shape[0], RGLYPH_H, cw), dtype=np.int8)
+        tt[:, :, :wmax] = templates
+    agree = (tt == canvas[None, :, :]).mean(axis=(1, 2))
     best = int(np.argmax(agree))
     return GLYPHS[int(labels[best])], float(agree[best])
 
