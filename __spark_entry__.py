@@ -979,6 +979,43 @@ def q48_assembled_wide_table(spark, sf_dir):
     return assemble_wide_table(sparse)
 
 
+def q49_hot_shingles(spark, sf_dir):
+    """Corpus boilerplate discovery: top-20 shingles by document frequency
+    (the pass that produces the stop-shingle list q41's max_shingle_df
+    cap consumes). Global top-K via orderBy+limit -> TakeOrderedAndProject
+    (map-side partial top-K, no full sort)."""
+    from ocr_text_recognition_spark.operators.dedup import hot_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    return hot_shingles(docs, "doc_id", "text", n=3, top_k=20)
+
+
+def q50_incremental_exact(spark, sf_dir):
+    """Incremental exact dedup: fingerprint a NEW ingest batch (30 exact
+    copies + 10 novel docs) and semi-join against the standing corpus
+    fingerprint table — the cheapest per-ingest dedup pass; only the 30
+    copies surface. Corpus side is one narrow stored column (scan-only
+    in production, like q47's signature table)."""
+    from ocr_text_recognition_spark.operators.dedup import exact_dup_incremental
+    from ocr_text_recognition_spark.operators.textanalysis import fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_fps = (
+        docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    new = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40)).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" entirely novel suffix")).alias("text"),
+        )
+    )
+    return exact_dup_incremental(new, corpus_fps, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1029,6 +1066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_metadata_diacritics": q46_metadata_diacritics,
         "q47_incremental_lsh": q47_incremental_lsh,
         "q48_assembled_wide_table": q48_assembled_wide_table,
+        "q49_hot_shingles": q49_hot_shingles,
+        "q50_incremental_exact": q50_incremental_exact,
     }
 
 

@@ -163,6 +163,39 @@ def lsh_candidate_pairs_incremental(
     )
 
 
+def hot_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, top_k: int = 20
+) -> DataFrame:
+    """Top-K shingles by document frequency — the corpus-analysis pass
+    that DISCOVERS the stop-shingle list ``ngram_jaccard_pairs``'s
+    ``max_shingle_df`` cap drops (boilerplate headers, licence blurbs,
+    navigation text all surface here). One explode + one count shuffle +
+    a global top-K (map-side partial top via TakeOrderedAndProject, no
+    full sort). Deterministic order: (df desc, shingle asc)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    counts = sh.groupBy("sh").agg(F.count("*").alias("shingle_df"))
+    return counts.orderBy(F.desc("shingle_df"), F.asc("sh")).limit(top_k)
+
+
+def exact_dup_incremental(
+    new_df: DataFrame, corpus_fps: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Incremental exact dedup: fingerprint the NEW batch and semi-join it
+    against the STANDING corpus fingerprint table (one narrow column, the
+    artifact exact_dup_groups' keyed pass materializes at ingest). Returns
+    the new rows that already exist in the corpus: (new_id, fp,
+    corpus_keep_id). The corpus side is scan-only — never re-fingerprinted
+    (same property as lsh_candidate_pairs_incremental)."""
+    keyed = new_df.select(
+        F.col(id_col).alias("new_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    return keyed.join(
+        corpus_fps.select("fp", F.col("keep_id").alias("corpus_keep_id")), "fp"
+    ).select("new_id", "fp", "corpus_keep_id")
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over whitespace tokens: bit j = sign of the sum over
     tokens of (bit_j(md5_16(token)) * 2 - 1)."""

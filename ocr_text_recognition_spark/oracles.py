@@ -407,6 +407,26 @@ SELECT p.new_id, p.corpus_id,
 FROM pairs p JOIN nsig sa ON sa.id = p.new_id JOIN sig sb ON sb.id = p.corpus_id
 """
 
+ORACLES["q49_hot_shingles"] = f"""
+WITH toks AS ({_toks("SELECT doc_id, text FROM documents")}),
+sh AS ({_shingles("SELECT * FROM toks")})
+SELECT sh, COUNT(*) AS shingle_df FROM sh
+GROUP BY sh ORDER BY shingle_df DESC, sh ASC LIMIT 20
+"""
+
+ORACLES["q50_incremental_exact"] = """
+WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents),
+corpus AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp),
+new AS (SELECT doc_id + 200000 AS new_id, fp FROM fp WHERE doc_id < 30
+        UNION ALL
+        SELECT doc_id + 300000,
+               md5(regexp_replace(lower(trim(text || ' entirely novel suffix')), '\\s+', ' ', 'g'))
+        FROM documents WHERE doc_id >= 30 AND doc_id < 40)
+SELECT n.new_id, n.fp, c.keep_id AS corpus_keep_id
+FROM new n JOIN corpus c USING (fp)
+"""
+
 _STOPLISTS = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],

@@ -180,3 +180,12 @@ def test_incremental_lsh_corpus_scan_only(spark, tmp_path):
     # the candidates are correct: every new doc finds its original
     got = {(r["new_id"], r["corpus_id"]) for r in out.collect() if r["est_jaccard"] == 1.0}
     assert {(90000 + i, i) for i in range(5)} <= got
+
+
+def test_hot_shingles_partial_topk(spark, entry):
+    """Global top-K by document frequency must plan as
+    TakeOrderedAndProject (map-side partial top-K) — a full sort of the
+    shingle-count table at corpus scale would shuffle everything."""
+    plan = _plan(entry.queries()["q49_hot_shingles"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
