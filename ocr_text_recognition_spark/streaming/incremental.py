@@ -53,6 +53,82 @@ def stream_extraction(
     return writer.start()
 
 
+def stream_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    sig_table_dir: str,
+    dups_out_dir: str,
+    checkpoint_dir: str,
+    num_perm: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Per-ingest streaming dedup — the production shape of
+    ``lsh_candidate_pairs_incremental``: each arriving micro-batch of
+    documents (parquet files with (doc_id, text)) is minhash-signed, its
+    signatures band-joined against the STANDING signature table on disk,
+    candidate duplicate pairs (est_jaccard >= threshold) appended to
+    ``dups_out_dir``, and the batch's OWN signatures appended to the
+    signature table so later batches dedup against it too. The corpus is
+    never re-signed: its side of every join is a parquet scan.
+
+    Spark's stream checkpoint makes the foreachBatch exactly-once per
+    micro-batch; signature appends are idempotent under replay only per
+    batch directory overwrite, so each batch writes to a batch-scoped
+    subdirectory (overwrite semantics on retry).
+
+    Returns the started StreamingQuery; callers awaitTermination()."""
+    import os
+
+    from ocr_text_recognition_spark.operators.dedup import (
+        lsh_candidate_pairs_incremental,
+        minhash_signatures,
+    )
+
+    reader = spark.readStream.schema("doc_id long, text string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        new_sigs = minhash_signatures(
+            batch_df, "doc_id", "text", num_perm=num_perm
+        ).persist()  # feeds both the join and the table append
+        try:
+            if any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(sig_table_dir)
+                for f in fs
+            ):
+                corpus_sigs = sess.read.parquet(f"{sig_table_dir}/*/")
+                dups = lsh_candidate_pairs_incremental(
+                    new_sigs, corpus_sigs, num_perm=num_perm, bands=bands
+                ).filter(F.col("est_jaccard") >= threshold)
+                dups.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(dups_out_dir)
+            # batch-scoped subdir + overwrite -> idempotent on replay
+            new_sigs.write.mode("overwrite").parquet(
+                f"{sig_table_dir}/batch_{batch_id}"
+            )
+        finally:
+            new_sigs.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

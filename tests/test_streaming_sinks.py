@@ -282,3 +282,59 @@ def test_stateful_orphan_state_expires(spark, tmp_path):
     # the orphan's pre-expiry span is GONE and its late eof is suppressed:
     # no row at all for the expired doc (not even an empty-span one)
     assert "orphan" not in got
+
+
+def test_stream_dedup_incremental(spark, tmp_path):
+    """Per-ingest streaming dedup: batch 1 seeds the signature table,
+    batch 2 (five exact copies + five novel docs) flags exactly the
+    copies against the standing table — and the table itself grows by
+    one batch-scoped parquet directory per micro-batch."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_text_recognition_spark.streaming.incremental import stream_dedup
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    texts = [f"document number {i} with some shared words " * 3 for i in range(10)]
+
+    def write(name, rows):
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array([r[0] for r in rows], pa.int64()),
+                 pa.array([r[1] for r in rows], pa.string())],
+                names=["doc_id", "text"],
+            ),
+            str(in_dir / name),
+        )
+
+    write("b1.parquet", [(i, texts[i]) for i in range(10)])
+    time.sleep(1.1)  # distinct mtime -> deterministic file order
+    write("b2.parquet", [(100 + i, texts[i]) for i in range(5)]
+          + [(200 + i, f"completely fresh content {i} nothing shared") for i in range(5)])
+
+    sig_dir = str(tmp_path / "sig_table")
+    dups_dir = str(tmp_path / "dups_out")
+    spark.conf.set("spark.sql.streaming.fileSource.schema.forceNullable", "true")
+    q = stream_dedup(
+        spark,
+        str(in_dir),
+        sig_dir,
+        dups_dir,
+        str(tmp_path / "dd_ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    # batch-scoped signature dirs exist for both micro-batches
+    assert sorted(d for d in os.listdir(sig_dir) if d.startswith("batch_")) == [
+        "batch_0", "batch_1",
+    ]
+    dups = spark.read.parquet(dups_dir).collect()
+    flagged = {(r["new_id"], r["corpus_id"]) for r in dups}
+    assert {(100 + i, i) for i in range(5)} <= flagged
+    # novel docs never flagged
+    assert all(r["new_id"] < 200 for r in dups)
