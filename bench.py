@@ -58,17 +58,36 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 
-    # --- relational/operator queries over the sf tables
+    # --- relational/operator queries over the sf tables.
+    # MEDIAN of TRIALS timed passes after one warm pass: single runs on a
+    # shared box swing 2x run-to-run (same methodology as
+    # scripts/bench_scaling.py's median-of-5).
+    import statistics
+
+    TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     for name in BENCH_QUERIES:
         df = qs[name](spark, SF_DIR)
         df.count()  # warm the scan cache once; timing the steady state
-        t0 = time.time()
-        force(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        secs = []
+        for _ in range(TRIALS):
+            # NOTE: no clearCache between trials — queries with internal
+            # persist()s (q17/q41) hit the warm cache via plan
+            # canonicalization, the same steady-state semantics the
+            # single-pass bench always measured; clearing would time the
+            # cold signature materialization instead (6x slower and not
+            # comparable across rounds).
+            t0 = time.time()
+            force(qs[name](spark, SF_DIR))
+            secs.append(time.time() - t0)
+        timings[name] = round(statistics.median(secs), 3)
 
     # --- extraction pipeline (docs/sec, chars/sec) — corpus materialized to
     # parquet off the clock (the job's real input shape), UDF workers warmed
-    # on a slice so the timing is steady-state.
+    # on a slice so the timing is steady-state. The relational section's
+    # accumulated persist() blocks (q17/q41 signatures across trials) are
+    # dropped first: leftover storage memory + GC pressure otherwise costs
+    # the kernel stage ~30% for reasons unrelated to the pipeline itself.
+    spark.catalog.clearCache()
     import tempfile
 
     from ocr_text_recognition_spark.io_pandas import write_corpus_parquet
@@ -78,24 +97,29 @@ def main() -> None:
     write_corpus_parquet(docs_pd, media_pd, corpus_dir)
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
     media = spark.read.parquet(f"{corpus_dir}/media.parquet")
-    # full warm-up run: python workers, JIT, codegen — then time steady state
+    # full warm-up run: python workers, JIT, codegen — then MEDIAN of
+    # TRIALS timed steady-state passes (same noise rationale as above)
     run_extraction(spark, docs, media).write.format("noop").mode("overwrite").save()
-    t0 = time.time()
-    out = run_extraction(spark, docs, media)
     from pyspark.sql import functions as F
 
-    stats = out.agg(
-        F.count("*").alias("docs"),
-        F.sum(F.size("spans")).alias("spans"),
-        F.sum(
-            F.aggregate(
-                F.transform("spans", lambda s: F.length(s["text"])),
-                F.lit(0),
-                lambda a, b: a + b,
-            )
-        ).alias("chars"),
-    ).collect()[0]
-    ext_sec = time.time() - t0
+    ext_secs = []
+    stats = None
+    for _ in range(TRIALS):
+        t0 = time.time()
+        out = run_extraction(spark, docs, media)
+        stats = out.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size("spans")).alias("spans"),
+            F.sum(
+                F.aggregate(
+                    F.transform("spans", lambda s: F.length(s["text"])),
+                    F.lit(0),
+                    lambda a, b: a + b,
+                )
+            ).alias("chars"),
+        ).collect()[0]
+        ext_secs.append(time.time() - t0)
+    ext_sec = statistics.median(ext_secs)
     timings["extraction_pipeline"] = round(ext_sec, 3)
 
     # north-star correctness metric, off the clock: exact span-sequence
