@@ -468,3 +468,72 @@ def test_assemble_wide_table_reference_semantics(spark):
     # doc s: single text row -> no promotion
     assert got[("s", 0, 1)] == ("Column_2", "Beta", False)
     assert len(got) == 6 + 4 + 2
+
+
+def test_assemble_wide_table_randomized_vs_reference_python(spark):
+    """assemble_wide_table vs a direct Python transliteration of the
+    reference's pandas code (_create_dataframe_from_table_data +
+    _is_header_row) over 30 seeded random sparse grids — padding, the
+    padded-row majority test, promotion, and Column_{i} fallback all
+    re-derived independently."""
+    import random
+    import re
+
+    from ocr_text_recognition_spark.operators.tableops import assemble_wide_table
+
+    def is_num(v):
+        s = re.sub(r"[,%]", "", v.strip())
+        if not s:
+            return False
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    pool = ["8,5", "12.3", "45%", "abc", "Subject", "x1", "7", "note text", "9.0"]
+    rng = random.Random(7)
+    cells = []
+    for d in range(30):
+        n_rows = rng.randint(1, 5)
+        n_cols = rng.randint(1, 4)
+        for r in range(n_rows):
+            for c in range(n_cols):
+                if rng.random() < 0.8:  # ~20% holes
+                    cells.append((d, r, c, rng.choice(pool)))
+    # guarantee every doc has at least one cell
+    docs_present = {c[0] for c in cells}
+    cells += [(d, 0, 0, "seed") for d in range(30) if d not in docs_present]
+
+    from collections import defaultdict
+
+    grids = defaultdict(dict)
+    for d, r, c, v in cells:
+        grids[d][(r, c)] = v
+    want = set()
+    for d, grid in grids.items():
+        n_rows = max(r for r, _ in grid) + 1
+        max_cols = max(c for _, c in grid) + 1
+        padded = [
+            [grid.get((r, c), "") for c in range(max_cols)] for r in range(n_rows)
+        ]
+        text_count = sum(1 for v in padded[0] if v != "" and not is_num(v))
+        has_header = n_rows > 1 and text_count * 2 > max_cols
+        data = padded[1:] if has_header else padded
+        names = (
+            padded[0]
+            if has_header
+            else [f"Column_{i + 1}" for i in range(max_cols)]
+        )
+        for ri, row in enumerate(data):
+            for ci, v in enumerate(row):
+                want.add((d, ri, ci, names[ci], v, has_header))
+
+    df = spark.createDataFrame(
+        cells, "doc_id int, row_idx int, col_idx int, value string"
+    )
+    got = {
+        (r["doc_id"], r["row_out"], r["col_idx"], r["col_name"], r["value"], r["has_header"])
+        for r in assemble_wide_table(df).collect()
+    }
+    assert got == want
