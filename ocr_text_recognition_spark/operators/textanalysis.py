@@ -104,17 +104,34 @@ def lang_id(text: Column) -> Column:
 def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1]: length band + alpha ratio +
     mean-word-length band + stopword presence. Deterministic heuristic in
-    the Gopher/C4-filter family; each term is a pure SQL expression."""
+    the Gopher/C4-filter family; each term is a pure SQL expression.
+    Like lang_id, the token-derived terms (count + en stopword hits) come
+    from ONE fold over a single tokens array — the operator runs over
+    every document at corpus scale, so one lower+split per row, not one
+    per term."""
     n_chars = F.length(text)
-    n_tokens = token_count_ws(text)
+    en_words = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    zero = F.struct(F.lit(0).alias("n"), F.lit(0).alias("hits"))
+
+    def step(acc, tok):
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            (acc["hits"] + F.array_contains(en_words, tok).cast("int")).alias("hits"),
+        )
+
+    def finish(acc):
+        mean_word_len = n_chars / F.greatest(acc["n"], F.lit(1))
+        word_term = F.when(
+            (mean_word_len >= 3) & (mean_word_len <= 12), 0.25
+        ).otherwise(0.0)
+        stop_term = F.when(acc["hits"] >= 2, 0.25).otherwise(0.0)
+        return word_term + stop_term
+
+    tok_terms = F.aggregate(tokens(text), zero, step, finish)
     alpha_ratio = F.regexp_count(text, F.lit(r"[A-Za-z]")) / F.greatest(n_chars, F.lit(1))
-    mean_word_len = n_chars / F.greatest(n_tokens, F.lit(1))
-    en_hits = _stopword_hits(text, LANG_STOPWORDS["en"])
     len_term = F.when((n_chars >= 50) & (n_chars <= 100000), 0.25).otherwise(0.0)
     alpha_term = F.when(alpha_ratio >= 0.6, 0.25).otherwise(0.0)
-    word_term = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 0.25).otherwise(0.0)
-    stop_term = F.when(en_hits >= 2, 0.25).otherwise(0.0)
-    return (len_term + alpha_term + word_term + stop_term).alias("quality")
+    return (len_term + alpha_term + tok_terms).alias("quality")
 
 
 def fingerprint(text: Column) -> Column:
