@@ -1016,6 +1016,18 @@ def q50_incremental_exact(spark, sf_dir):
     return exact_dup_incremental(new, corpus_fps, "doc_id", "text")
 
 
+def q51_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pair generation completing the q18 story: 4x4-bit
+    banding (pigeonhole guarantees recall at hamming<=3), chunk-keyed
+    candidate join, exact bit_count(xor) verify — never all-pairs."""
+    from ocr_text_recognition_spark.operators.dedup import simhash_near_pairs
+
+    docs = _dup_documents(spark, sf_dir).filter(
+        (F.col("doc_id") < 100) | (F.col("doc_id") >= 100000)
+    )
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1068,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_assembled_wide_table": q48_assembled_wide_table,
         "q49_hot_shingles": q49_hot_shingles,
         "q50_incremental_exact": q50_incremental_exact,
+        "q51_simhash_pairs": q51_simhash_pairs,
     }
 
 

@@ -216,6 +216,53 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("id", sim.cast("long").alias("simhash"))
 
 
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band the 16-bit simhash into four
+    4-bit chunks — by pigeonhole, any pair within hamming distance 3
+    shares at least one identical chunk — so candidates come from a
+    chunk-keyed equi-join (never all-pairs) and the exact hamming check
+    (bit_count of xor, pure JVM) runs only on candidates. The signature
+    computation feeds both join sides, so it is persisted (at real scale
+    the simhash column is a stored table, like the minhash path)."""
+    sims = simhash16(df, id_col, text_col).persist()
+    chunks = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned("simhash", 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.band_id", "b.chunk")
+    a = chunks.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band_id", "chunk"
+    )
+    b = chunks.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band_id", "chunk"
+    )
+    return (
+        a.join(b, ["band_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -407,6 +407,22 @@ SELECT p.new_id, p.corpus_id,
 FROM pairs p JOIN nsig sa ON sa.id = p.new_id JOIN sig sb ON sb.id = p.corpus_id
 """
 
+ORACLES["q51_simhash_pairs"] = f"""
+WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 100
+             UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20),
+toks AS ({_toks("SELECT * FROM src")}),
+tok AS (SELECT doc_id AS id, unnest(toks) AS t FROM toks),
+h AS (SELECT id, CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) AS h FROM tok),
+bits AS (SELECT id, {_SIMHASH_BITS} FROM h GROUP BY id),
+sim AS (SELECT id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits),
+bands AS (SELECT id, simhash, b.band_id, (simhash >> (4 * b.band_id)) & 15 AS chunk
+          FROM sim, (VALUES (0), (1), (2), (3)) AS b(band_id))
+SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.chunk = y.chunk AND x.id < y.id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
 ORACLES["q49_hot_shingles"] = f"""
 WITH toks AS ({_toks("SELECT doc_id, text FROM documents")}),
 sh AS ({_shingles("SELECT * FROM toks")})
