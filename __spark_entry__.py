@@ -1028,6 +1028,25 @@ def q51_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def q52_dup_clusters(spark, sf_dir):
+    """Near-dup clustering: LSH candidate pairs (est>=0.5) -> connected
+    components -> (id, cluster_id=min id, the canonical survivor). The
+    iterative min-label propagation is the one genuinely non-single-SQL
+    operator in the dedup pipeline; the DuckDB oracle recomputes the
+    components with a recursive CTE, so it is still fully hash-verified."""
+    from ocr_text_recognition_spark.operators.dedup import (
+        dup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_dup_documents(spark, sf_dir), "doc_id", "text", num_perm=8)
+    pairs = lsh_candidate_pairs(sigs, num_perm=8, bands=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return dup_clusters(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1081,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_hot_shingles": q49_hot_shingles,
         "q50_incremental_exact": q50_incremental_exact,
         "q51_simhash_pairs": q51_simhash_pairs,
+        "q52_dup_clusters": q52_dup_clusters,
     }
 
 

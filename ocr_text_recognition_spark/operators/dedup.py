@@ -263,6 +263,61 @@ def simhash_near_pairs(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over candidate-duplicate pairs -> (id,
+    cluster_id) with cluster_id = the component's minimum id (the
+    canonical survivor). The step between pair generation (LSH/SimHash)
+    and survivor selection in a dedup pipeline.
+
+    Min-label propagation: each round, every node takes the min of its
+    own label and its neighbors' labels — one join + one groupBy-min
+    shuffle per round, converging in <= graph-diameter rounds (dup
+    clusters are shallow: near-clique components converge in 2-3).
+    Scale notes: the per-round driver check is a COUNT aggregate (no data
+    collected); labels are persisted per round and the previous round
+    unpersisted, and localCheckpoint truncates the lineage so round N's
+    plan does not replay rounds 1..N-1 under executor loss."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

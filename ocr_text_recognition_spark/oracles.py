@@ -320,6 +320,33 @@ _SIMHASH_BITS = ", ".join(
 )
 _SIMHASH_VAL = " + ".join(f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
 
+# q52: connected components over the q17-style candidate pairs
+# (est_jaccard >= 0.5). DuckDB recomputes the components with a recursive
+# CTE (min reachable id per node), so the iterative Spark operator is
+# still fully rows+schema+hash verified.
+ORACLES["q52_dup_clusters"] = f"""
+WITH RECURSIVE {_SIG_DUP.strip()},
+band AS (
+  SELECT id, 0 AS band_id, md5(mh_0 || '|' || mh_1) AS bkey FROM sig
+  UNION ALL SELECT id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+  UNION ALL SELECT id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+  UNION ALL SELECT id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM band a JOIN band b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.id < b.id),
+pairs AS (SELECT c.id_a, c.id_b
+          FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b
+          WHERE ({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(8))}) / 8.0 >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+)
+SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
 ORACLES["q18_simhash"] = f"""
 WITH toks AS ({_toks("SELECT doc_id, text FROM documents", "doc_id < 100")}),
 tok AS (SELECT doc_id AS id, unnest(toks) AS t FROM toks),

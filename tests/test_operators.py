@@ -537,3 +537,22 @@ def test_assemble_wide_table_randomized_vs_reference_python(spark):
         for r in assemble_wide_table(df).collect()
     }
     assert got == want
+
+
+def test_dup_clusters_chain_and_components(spark):
+    """Min-label propagation: a 6-node chain (needs multiple rounds to
+    converge), a separate triangle, and an isolated pair — every node
+    labeled with its component's min id."""
+    from ocr_text_recognition_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),    # chain
+         (10, 11), (11, 12), (10, 12),              # triangle
+         (20, 21)],                                  # pair
+        "id_a int, id_b int",
+    )
+    got = {(r["id"], r["cluster_id"]) for r in dup_clusters(pairs).collect()}
+    want = {(i, 1) for i in range(1, 7)} | {(i, 10) for i in (10, 11, 12)} | {
+        (20, 20), (21, 20),
+    }
+    assert got == want
