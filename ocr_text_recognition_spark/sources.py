@@ -59,6 +59,50 @@ def dump_debug_images(media: DataFrame, out_dir: str, sample_fraction: float = 0
     return len(sampled)
 
 
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    interleaved: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL document ingestion — the delivery format web corpora actually
+    arrive in (one JSON object per line, optionally .gz/.bz2; Spark's
+    codec layer decompresses transparently).
+
+    Scale rules baked in:
+    - EXPLICIT schema, never inference: schema inference is a full extra
+      pass over the data before the real job can plan — a non-starter at
+      corpus scale.
+    - PERMISSIVE mode with a corrupt-record column: one malformed line in
+      a trillion must not kill the job; poison lines surface as rows with
+      ``corrupt_col`` set (and NULL fields) for quarantine, mirroring the
+      pipeline's poison-pill isolation for undecodable images.
+
+    ``interleaved=True`` reads the engine's native (doc_id, spans) shape;
+    False reads flat (doc_id, text) corpora (dedup/text-analysis inputs).
+    """
+    from pyspark.sql import types as T
+
+    from ocr_text_recognition_spark.schemas import DOCUMENTS_SCHEMA
+
+    if interleaved:
+        base = DOCUMENTS_SCHEMA
+    else:
+        base = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), True),
+                T.StructField("text", T.StringType(), True),
+            ]
+        )
+    schema = T.StructType(base.fields + [T.StructField(corrupt_col, T.StringType(), True)])
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from ocr_text_recognition_spark.kernel import backends, imageops, render
 from ocr_text_recognition_spark.kernel.imgcodec import encode_image
@@ -220,3 +221,38 @@ def test_token_probe_memoized_once_per_process(monkeypatch):
         backends.tokens_from_bytes(b"x")
         backends.recognize_cell_bytes(b"x")
     assert probes == {"tokens": 1, "cell": 1}
+
+
+def test_read_documents_jsonl_gz_with_poison_lines(spark, tmp_path):
+    """JSONL ingestion: explicit schema (no inference pass), gzip handled
+    by the codec layer, and a malformed line surfaces as a quarantined
+    corrupt-record row instead of failing the job. The parsed interleaved
+    rows run straight through the extraction pipeline."""
+    import gzip
+
+    from ocr_text_recognition_spark.sources import read_documents_jsonl
+
+    good = [
+        '{"doc_id":"d1","spans":[{"kind":"text","text":"hello","media_ref":"","offset":0}]}',
+        '{"doc_id":"d2","spans":[{"kind":"text","text":"world","media_ref":"","offset":0},'
+        '{"kind":"media","text":"","media_ref":"m1","offset":1}]}',
+    ]
+    poison = '{"doc_id":"d3","spans": THIS IS NOT JSON'
+    p = tmp_path / "docs.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(good + [poison]) + "\n")
+
+    df = read_documents_jsonl(spark, str(p)).cache()
+    ok = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    got = {r["doc_id"]: [(s["kind"], s["media_ref"]) for s in r["spans"]]
+           for r in ok.collect()}
+    assert got == {"d1": [("text", "")], "d2": [("text", ""), ("media", "m1")]}
+    assert bad.count() == 1 and "NOT JSON" in bad.collect()[0]["_corrupt_record"]
+
+    # flat variant for dedup/text-analysis corpora
+    flat = tmp_path / "flat.jsonl"
+    flat.write_text('{"doc_id": 1, "text": "abc"}\n{"doc_id": 2, "text": "def"}\n')
+    f2 = read_documents_jsonl(spark, str(flat), interleaved=False)
+    assert {(r["doc_id"], r["text"]) for r in
+            f2.filter(F.col("_corrupt_record").isNull()).collect()} == {(1, "abc"), (2, "def")}
