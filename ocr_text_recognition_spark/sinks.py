@@ -44,6 +44,24 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 100_000,
+) -> None:
+    """Corpus-scale parquet writer. ``maxRecordsPerFile`` bounds per-task
+    output files: without it a 100 TB job emits whatever each task holds —
+    unsplittable multi-GB giants from fat partitions alongside metadata-
+    pressure confetti from thin ones. Optional ``partition_by`` gives
+    downstream readers partition pruning (see
+    tests/test_plans.py::test_partitioned_table_scan_prunes)."""
+    w = df.write.mode("overwrite").option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
 def write_grades_json(cells_long: DataFrame, path: str) -> None:
     """Nested {grades:[{subject, grades:[...]}]} documents, one JSON text
     line per doc (the reference's grades document shape, D7)."""

@@ -338,3 +338,24 @@ def test_stream_dedup_incremental(spark, tmp_path):
     assert {(100 + i, i) for i in range(5)} <= flagged
     # novel docs never flagged
     assert all(r["new_id"] < 200 for r in dups)
+
+
+def test_write_corpus_bounds_file_sizes(spark, tmp_path):
+    """maxRecordsPerFile must actually split fat partitions: 1000 rows in
+    ONE partition with a 100-record cap -> >= 10 part files, none larger
+    than the cap; round-trip intact."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ocr_text_recognition_spark.sinks import write_corpus
+
+    df = spark.range(0, 1000).coalesce(1).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    path = str(tmp_path / "corpus_out")
+    write_corpus(df, path, max_records_per_file=100)
+    parts = glob.glob(f"{path}/part-*.parquet")
+    assert len(parts) >= 10
+    assert all(pq.read_metadata(p).num_rows <= 100 for p in parts)
+    assert spark.read.parquet(path).count() == 1000
