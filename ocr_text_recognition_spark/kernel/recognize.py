@@ -111,7 +111,7 @@ def _bbox_template_tensor() -> tuple[np.ndarray, np.ndarray, dict[bytes, int]]:
     for i, b in enumerate(boxes):
         t[i, : b.shape[0], : b.shape[1]] = b
         dims[i] = b.shape
-        exact[b.tobytes() + bytes(b.shape)] = i
+        exact[b.tobytes() + _shape_key(b.shape)] = i
     return t, dims, exact
 
 
@@ -125,7 +125,7 @@ def _classify_bbox(cell: np.ndarray) -> tuple[str, float]:
     cs = np.nonzero(cell.sum(axis=0))[0]
     bb = cell[rs[0] : rs[-1] + 1, cs[0] : cs[-1] + 1].astype(np.uint8)
     t, dims, exact = _bbox_template_tensor()
-    hit = exact.get(bb.tobytes() + bytes(bb.shape))
+    hit = exact.get(bb.tobytes() + _shape_key(bb.shape))
     if hit is not None:
         return GLYPHS[hit], 1.0
     ch = max(bb.shape[0], t.shape[1])
@@ -174,12 +174,19 @@ _CLASSIFY_MEMO: dict[bytes, tuple[str, float]] = {}
 _CLASSIFY_MEMO_CAP = 200_000
 
 
+def _shape_key(shape: tuple[int, int]) -> bytes:
+    """Shape tag for bitmap dict keys. NOT bytes(shape): that treats the
+    dims as a byte SEQUENCE and raises ValueError for any dimension >=
+    256 (a tall scan band or a wide merged-glyph run)."""
+    return shape[0].to_bytes(4, "little") + shape[1].to_bytes(4, "little")
+
+
 def classify_glyph(cell: np.ndarray) -> tuple[str, float]:
     """One glyph segment (line-band height x run width, binary) ->
     (char, confidence). Returns ('', 0.0) for empty segments."""
     if not cell.any():
         return "", 0.0
-    key = cell.astype(np.uint8).tobytes() + bytes(cell.shape)
+    key = cell.astype(np.uint8).tobytes() + _shape_key(cell.shape)
     memo = _CLASSIFY_MEMO.get(key)
     if memo is not None:
         return memo

@@ -272,11 +272,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     Min-label propagation: each round, every node takes the min of its
     own label and its neighbors' labels — one join + one groupBy-min
     shuffle per round, converging in <= graph-diameter rounds (dup
-    clusters are shallow: near-clique components converge in 2-3).
+    clusters are shallow: near-clique components converge in 2-3; raise
+    ``max_iter`` for pathological chain-shaped graphs — the loop RAISES
+    on exhaustion rather than silently returning split clusters).
     Scale notes: the per-round driver check is a COUNT aggregate (no data
     collected); labels are persisted per round and the previous round
-    unpersisted, and localCheckpoint truncates the lineage so round N's
-    plan does not replay rounds 1..N-1 under executor loss."""
+    unpersisted. localCheckpoint truncates lineage so round N's PLAN stays
+    bounded (no exponential replan) — it stores blocks on executors only,
+    so an executor loss mid-run fails the job fast for the driver to
+    retry; a long-running production job should setCheckpointDir and swap
+    in reliable ``.checkpoint()`` for restartable rounds."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -288,6 +293,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .persist()
     )
     labels.count()
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -315,6 +321,11 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_clusters did not converge in max_iter={max_iter} rounds "
+            "(component diameter exceeds the round budget); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -74,14 +74,15 @@ def stream_dedup(
     signature table so later batches dedup against it too. The corpus is
     never re-signed: its side of every join is a parquet scan.
 
-    Spark's stream checkpoint makes the foreachBatch exactly-once per
-    micro-batch; signature appends are idempotent under replay only per
-    batch directory overwrite, so each batch writes to a batch-scoped
-    subdirectory (overwrite semantics on retry).
+    foreachBatch is AT-LEAST-ONCE (a crash between side effects replays
+    the batch_id), so BOTH outputs are batch-scoped overwrite
+    subdirectories — a replayed batch rewrites its own directory instead
+    of appending duplicates. Read either output with
+    ``spark.read.parquet(f"{dir}/*/")``. The standing-table probe goes
+    through Spark's read path (not driver-local os.listdir), so the
+    signature table can live on HDFS/S3.
 
     Returns the started StreamingQuery; callers awaitTermination()."""
-    import os
-
     from ocr_text_recognition_spark.operators.dedup import (
         lsh_candidate_pairs_incremental,
         minhash_signatures,
@@ -100,19 +101,23 @@ def stream_dedup(
             batch_df, "doc_id", "text", num_perm=num_perm
         ).persist()  # feeds both the join and the table append
         try:
-            if any(
-                f.endswith(".parquet")
-                for _, _, fs in os.walk(sig_table_dir)
-                for f in fs
-            ):
+            # Spark-side probe of the standing table: works on any
+            # filesystem Spark can read (a driver-local os.walk would
+            # silently see nothing on HDFS/S3 and skip dedup forever).
+            try:
                 corpus_sigs = sess.read.parquet(f"{sig_table_dir}/*/")
+            except Exception:
+                corpus_sigs = None  # first batch: no table yet
+            if corpus_sigs is not None:
                 dups = lsh_candidate_pairs_incremental(
                     new_sigs, corpus_sigs, num_perm=num_perm, bands=bands
                 ).filter(F.col("est_jaccard") >= threshold)
+                # batch-scoped overwrite: replaying this batch_id rewrites
+                # the same directory instead of appending duplicate rows
                 dups.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                    "append"
-                ).parquet(dups_out_dir)
-            # batch-scoped subdir + overwrite -> idempotent on replay
+                    "overwrite"
+                ).parquet(f"{dups_out_dir}/batch_{batch_id}")
+            # same idempotence shape for the signature table
             new_sigs.write.mode("overwrite").parquet(
                 f"{sig_table_dir}/batch_{batch_id}"
             )

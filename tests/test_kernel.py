@@ -374,3 +374,21 @@ class TestRotationDeskew:
         rot = imageops.rotate_mask(self._render(), 3000, fill=render.BG)
         got = reference_kernel.recognize_media_bytes(encode_image(rot))
         assert got != "ROTATION TEST LINE ONE\nAND A SECOND LONGER LINE 123"
+
+
+def test_classify_glyph_large_dimensions_no_crash():
+    """Memo keys must handle dims >= 256 (bytes(shape) would raise): a
+    300px-wide merged run and a 300px-tall band both classify (possibly
+    as low-confidence junk) instead of crashing the recognition UDF."""
+    from ocr_text_recognition_spark.kernel import recognize
+
+    wide = np.zeros((21, 300), np.uint8)
+    wide[10, :] = 1
+    ch, conf = recognize.classify_glyph(wide)
+    assert isinstance(ch, str) and 0.0 <= conf <= 1.0
+    tall = np.zeros((300, 12), np.uint8)
+    tall[:280, 5] = 1
+    ch2, conf2 = recognize.classify_glyph(tall)
+    assert isinstance(ch2, str) and 0.0 <= conf2 <= 1.0
+    # cached second call returns the identical result
+    assert recognize.classify_glyph(wide) == (ch, conf)

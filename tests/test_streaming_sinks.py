@@ -329,11 +329,14 @@ def test_stream_dedup_incremental(spark, tmp_path):
     )
     q.awaitTermination(180)
 
-    # batch-scoped signature dirs exist for both micro-batches
+    # batch-scoped signature dirs exist for both micro-batches; the dup
+    # output is batch-scoped too (replay idempotence: a replayed batch
+    # rewrites its own directory, never appends)
     assert sorted(d for d in os.listdir(sig_dir) if d.startswith("batch_")) == [
         "batch_0", "batch_1",
     ]
-    dups = spark.read.parquet(dups_dir).collect()
+    assert sorted(os.listdir(dups_dir)) == ["batch_1"]  # batch 0 had no table yet
+    dups = spark.read.parquet(f"{dups_dir}/*/").collect()
     flagged = {(r["new_id"], r["corpus_id"]) for r in dups}
     assert {(100 + i, i) for i in range(5)} <= flagged
     # novel docs never flagged
