@@ -1047,6 +1047,77 @@ def q52_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs)
 
 
+def q53_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: distinct 3-gram overlap of every
+    training doc against a held-out eval slice (doc_id % 97 == 0 plays
+    the benchmark suite), eval side broadcast, plus the contamination
+    verdict at a >=3-shingle threshold. The kept corpus is
+    train ANTI-JOIN (flagged) — this query returns the flag table."""
+    from ocr_text_recognition_spark.operators.curation import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    out = contamination_overlap(tr, ev, "doc_id", "text", n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        (F.col("n_overlap") >= 3).alias("contaminated"),
+    )
+
+
+def q54_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition signals per doc: total bigrams, duplicate
+    fraction, top-bigram fraction — the boilerplate/spam filter inputs."""
+    from ocr_text_recognition_spark.operators.curation import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"), "doc_id", "text", n=2)
+
+
+def q55_redact_rare(spark, sf_dir):
+    """Rare-token redaction (privacy scrub): tokens with document
+    frequency below 10% of the corpus become <unk>; emits the rewritten
+    text + per-doc redaction count. Exercises the full explode -> df
+    count -> vocab join -> ordered reassembly path."""
+    from ocr_text_recognition_spark.operators.curation import redact_rare_tokens
+
+    return redact_rare_tokens(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_df_frac=0.1
+    )
+
+
+def q56_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing: per shard (doc_id % 8), docs
+    concatenate in id order and split every 512 tokens; per-(shard,chunk)
+    doc count, token sum, and id range. Per-shard windows by construction
+    — the global-order single-reducer sort never exists in the plan."""
+    from ocr_text_recognition_spark.operators.curation import pack_chunks
+
+    return pack_chunks(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", budget=512, n_shards=8
+    )
+
+
+def q57_domain_cap(spark, sf_dir):
+    """Per-domain quality cap: keep the 10 best-quality docs per source
+    (id-asc tiebreak), via the generic two-level salted top-K so a
+    mega-domain cannot pin one reducer."""
+    from ocr_text_recognition_spark.operators.curation import cap_per_domain
+
+    return cap_per_domain(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source", k=10
+    )
+
+
+def q58_tfidf_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per doc, ranked by the integer-pure
+    (tf desc, df asc, term asc) order; the float score is a value column
+    only, so cross-engine ln() ulp noise cannot flip membership."""
+    from ocr_text_recognition_spark.operators.curation import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1101,6 +1172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_incremental_exact": q50_incremental_exact,
         "q51_simhash_pairs": q51_simhash_pairs,
         "q52_dup_clusters": q52_dup_clusters,
+        "q53_decontaminate": q53_decontaminate,
+        "q54_repetition_signals": q54_repetition_signals,
+        "q55_redact_rare": q55_redact_rare,
+        "q56_pack_chunks": q56_pack_chunks,
+        "q57_domain_cap": q57_domain_cap,
+        "q58_tfidf_keywords": q58_tfidf_keywords,
     }
 
 

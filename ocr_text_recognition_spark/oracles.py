@@ -912,3 +912,102 @@ ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn F
 SELECT doc_id, fp, ROUND(quality, 2) AS quality
 FROM ranked WHERE rn = 1 AND quality >= 0.5
 """
+
+# q53: benchmark decontamination — distinct 3-gram overlap of training
+# docs (doc_id % 97 <> 0) against the eval slice (doc_id % 97 = 0).
+ORACLES["q53_decontaminate"] = f"""
+WITH evt AS ({_toks("SELECT doc_id, text FROM documents", "doc_id % 97 = 0")}),
+trt AS ({_toks("SELECT doc_id, text FROM documents", "doc_id % 97 <> 0")}),
+evs AS (SELECT DISTINCT sh FROM ({_shingles("SELECT * FROM evt", 3)})),
+trs AS ({_shingles("SELECT * FROM trt", 3)})
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       COUNT(*) >= 3 AS contaminated
+FROM trs t JOIN evs USING (sh)
+GROUP BY t.doc_id
+"""
+
+# q54: Gopher-style repetition signals — bigram totals, duplicate
+# fraction, top-bigram fraction per doc.
+ORACLES["q54_repetition_signals"] = f"""
+WITH toks AS ({_toks("SELECT doc_id, text FROM documents")}),
+ng AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 2 THEN toks[i] || ' ' || toks[i + 1]
+                   ELSE array_to_string(toks, ' ') END AS g
+       FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS i
+             FROM toks)),
+c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM ng GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+       ROUND(1 - COUNT(*) * 1.0 / SUM(cnt), 4) AS dup_frac,
+       ROUND(MAX(cnt) * 1.0 / SUM(cnt), 4) AS top_frac
+FROM c GROUP BY doc_id
+"""
+
+# q55: rare-token redaction — tokens with doc frequency < 10% of the
+# corpus become <unk>; ordered reassembly + per-doc redaction count.
+ORACLES["q55_redact_rare"] = f"""
+WITH t AS ({_toks("SELECT doc_id, text FROM documents")}),
+pos AS (SELECT doc_id, i, toks[i] AS tok
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+              FROM t WHERE len(toks) > 0)),
+d AS (SELECT tok, COUNT(DISTINCT doc_id) AS df_docs FROM pos GROUP BY tok),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM pos),
+vocab AS (SELECT tok FROM d, n WHERE df_docs >= 0.1 * n_docs),
+red AS (SELECT p.doc_id, p.i,
+               CASE WHEN v.tok IS NULL THEN '<unk>' ELSE p.tok END AS out_tok,
+               CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS r
+        FROM pos p LEFT JOIN vocab v ON p.tok = v.tok)
+SELECT doc_id, string_agg(out_tok, ' ' ORDER BY i) AS redacted,
+       CAST(SUM(r) AS BIGINT) AS n_redacted
+FROM red GROUP BY doc_id
+"""
+
+# q56: concat-and-chunk packing — per shard (doc_id % 8), exclusive
+# prefix-sum of token counts div 512 assigns each doc's starting chunk.
+ORACLES["q56_pack_chunks"] = f"""
+WITH t AS ({_toks("SELECT doc_id, text FROM documents")}),
+s AS (SELECT doc_id, doc_id % 8 AS shard, len(toks) AS n_tok FROM t),
+c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tok AS excl
+      FROM s)
+SELECT shard, CAST(FLOOR(excl * 1.0 / 512) AS INT) AS chunk_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY 1, 2
+"""
+
+# q57: per-domain quality cap — top 10 docs per source by (rounded)
+# quality desc, doc_id asc. Quality CASE block identical to q45's.
+ORACLES["q57_domain_cap"] = f"""
+WITH t AS (SELECT doc_id, source, text,
+             list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents),
+scored AS (SELECT doc_id, source,
+  ROUND(CAST(CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN length(text) * 1.0 / greatest(len(toks), 1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN {_hits("en")} >= 2 THEN 0.25 ELSE 0.0 END AS DOUBLE), 2) AS quality
+  FROM t),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY quality DESC, doc_id ASC) AS INT) AS rn
+      FROM scored)
+SELECT doc_id, source, quality, rn FROM r WHERE rn <= 10
+"""
+
+# q58: top-3 TF-IDF keywords per doc; rank by the integer-pure
+# (tf desc, df asc, term asc) order, float score as a value column.
+ORACLES["q58_tfidf_keywords"] = f"""
+WITH t AS ({_toks("SELECT doc_id, text FROM documents")}),
+pos AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM pos GROUP BY 1, 2),
+d AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+s AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+             CAST(d.df_docs AS BIGINT) AS df_docs,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / d.df_docs), 4) AS score
+      FROM tf JOIN d USING (term) CROSS JOIN n),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tf DESC, df_docs ASC, term ASC) AS INT) AS rn
+      FROM s)
+SELECT doc_id, term, tf, df_docs, score, rn FROM r WHERE rn <= 3
+"""

@@ -556,3 +556,107 @@ def test_dup_clusters_chain_and_components(spark):
         (20, 20), (21, 20),
     }
     assert got == want
+
+
+def test_contamination_overlap_counts_shared_shingles(spark):
+    """Eval doc 'a b c d' has 3-gram shingles {a b c, b c d}; a train doc
+    containing both overlaps with count 2, a disjoint doc is absent."""
+    from ocr_text_recognition_spark.operators.curation import contamination_overlap
+
+    ev = spark.createDataFrame([(0, "a b c d")], "doc_id int, text string")
+    tr = spark.createDataFrame(
+        [(1, "x a b c d y"), (2, "p q r s t u")], "doc_id int, text string"
+    )
+    rows = {r["doc_id"]: r["n_overlap"] for r in
+            contamination_overlap(tr, ev, n=3).collect()}
+    assert rows == {1: 2}
+
+
+def test_repetition_signals_known_fractions(spark):
+    """'x y x y x y' -> 5 bigrams, 2 distinct, top count 3; 'a b c' -> no
+    repetition; a 1-token doc falls back to one whole-text ngram."""
+    from ocr_text_recognition_spark.operators.curation import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a b c"), (3, "z")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: (r["n_ngrams"], r["dup_frac"], r["top_frac"])
+           for r in repetition_signals(docs).collect()}
+    assert got[1] == (5, 0.6, 0.6)
+    assert got[2] == (2, 0.0, 0.5)
+    assert got[3] == (1, 0.0, 1.0)
+
+
+def test_redact_rare_tokens_replaces_below_threshold(spark):
+    """'secret' appears in 1 of 5 docs (20%); at min_df_frac=0.5 it is
+    redacted, common tokens survive, token order is preserved."""
+    from ocr_text_recognition_spark.operators.curation import redact_rare_tokens
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(4)]
+        + [(4, "alpha secret beta")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: (r["redacted"], r["n_redacted"])
+           for r in redact_rare_tokens(docs, min_df_frac=0.5).collect()}
+    assert out[4] == ("alpha <unk> beta", 1)
+    assert out[0] == ("alpha beta gamma", 0)
+    # gamma: df 4/5 = 0.8 >= 0.5 -> kept everywhere
+    assert all(n == 0 for d, (_, n) in out.items() if d != 4)
+
+
+def test_pack_chunks_exclusive_prefix_sum(spark):
+    """Token counts [3,3,3] at budget 5, one shard: exclusive cumsums
+    [0,3,6] -> docs 0,1 start in chunk 0 and doc 2 in chunk 1."""
+    from ocr_text_recognition_spark.operators.curation import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f"), (2, "g h i")], "doc_id int, text string"
+    )
+    rows = {(r["shard"], r["chunk_id"]):
+            (r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"])
+            for r in pack_chunks(docs, budget=5, n_shards=1).collect()}
+    assert rows == {(0, 0): (2, 6, 0, 1), (0, 1): (1, 3, 2, 2)}
+
+
+def test_top_k_per_group_equals_single_window(spark):
+    """The two-level salted top-K must be byte-identical to the plain
+    single-window form, including on a skewed group."""
+    from pyspark.sql import Window
+
+    from ocr_text_recognition_spark.operators.curation import top_k_per_group
+
+    # skew: group 'hot' has 900 rows, the others 50 each
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 900, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), F.pmod("id", F.lit(2)))).alias("grp"),
+        F.pmod(F.col("id") * 7919, F.lit(1000)).alias("score"),
+    )
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = top_k_per_group(df, ["grp"], order, k=7, salt_on="id")
+    w = Window.partitionBy("grp").orderBy(*order)
+    want = (
+        df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 7)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_tfidf_top_terms_known_corpus(spark):
+    """3-doc corpus with hand-computed tf/df: doc 1's top term is the
+    doc-unique 'apple' (tf 2, df 1), score 2*ln(3)."""
+    import math
+
+    from ocr_text_recognition_spark.operators.curation import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry")],
+        "doc_id int, text string",
+    )
+    rows = tfidf_top_terms(docs, k=3).collect()
+    top = {r["doc_id"]: r for r in rows if r["rn"] == 1}
+    assert top[1]["term"] == "apple" and top[1]["tf"] == 2 and top[1]["df_docs"] == 1
+    assert top[1]["score"] == round(2 * math.log(3.0), 4)
+    assert top[3]["term"] == "cherry" and top[3]["tf"] == 3
+    # doc 2: banana and cherry tie on tf=1, df=2 -> term asc breaks it
+    assert top[2]["term"] == "banana"

@@ -213,3 +213,22 @@ def test_partitioned_table_scan_prunes(spark, tmp_path, entry):
     seg = plan.split("PartitionFilters:", 1)[1][:200]
     assert "bucket_day" in seg  # the predicate actually landed there
     assert back.count() == 100
+
+
+def test_curation_plans(spark, entry):
+    """Scale pins for the curation queries: decontamination broadcasts the
+    eval side; packing's window is shard-partitioned (no single-reducer
+    sort anywhere in the plan); the domain cap and tfidf rank-filters push
+    down as WindowGroupLimit; everything stays pure SQL."""
+    qs = entry.queries()
+    p53 = _plan(qs["q53_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p53
+    p56 = _plan(qs["q56_pack_chunks"](spark, SF_DIR))
+    assert "SinglePartition" not in p56, p56
+    assert "hashpartitioning(shard" in p56
+    p57 = _plan(qs["q57_domain_cap"](spark, SF_DIR))
+    assert "WindowGroupLimit" in p57
+    p58 = _plan(qs["q58_tfidf_keywords"](spark, SF_DIR))
+    assert "WindowGroupLimit" in p58
+    for name, p in (("q53", p53), ("q56", p56), ("q57", p57), ("q58", p58)):
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
