@@ -1118,6 +1118,66 @@ def q58_tfidf_keywords(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def q59_asof_join(spark, sf_dir):
+    """As-of join (union+window form, operators/asof.py): every purchase
+    matched to the user's most recent click at-or-before it; LEFT
+    semantics (first-session purchases keep null click columns). The
+    oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — two independent
+    implementations of the operator, hash-compared."""
+    from ocr_text_recognition_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = asof_join(purchases, clicks, key="user_id")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_ts_s"),
+        F.col("asof_click_id").alias("click_id"),
+        F.unix_timestamp("asof_ts").alias("click_ts_s"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")).alias("gap_s"),
+    )
+
+
+def q60_rollup_stats(spark, sf_dir):
+    """Multi-level aggregation via ROLLUP (event_type, day): per-type
+    per-day, per-type, and grand-total rows in ONE pass — Spark plans
+    grouping sets as a single Expand + aggregate, not three scans."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    return (
+        ev.rollup(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q61_char_percentiles(spark, sf_dir):
+    """Exact per-language char-count percentiles via the histogram method
+    (operators/stats.py) — shuffle volume O(langs x distinct counts),
+    never buffering a group's values in memory like built-in
+    percentile(); verified against DuckDB's quantile_cont."""
+    from ocr_text_recognition_spark.operators.stats import exact_percentiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_percentiles(
+        docs, "lang", "n_chars", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1178,6 +1238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_pack_chunks": q56_pack_chunks,
         "q57_domain_cap": q57_domain_cap,
         "q58_tfidf_keywords": q58_tfidf_keywords,
+        "q59_asof_join": q59_asof_join,
+        "q60_rollup_stats": q60_rollup_stats,
+        "q61_char_percentiles": q61_char_percentiles,
     }
 
 

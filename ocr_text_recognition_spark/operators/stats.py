@@ -1,0 +1,64 @@
+"""Distributed corpus statistics.
+
+``exact_percentiles`` computes EXACT linear-interpolated percentiles
+(the ``quantile_cont`` / numpy ``percentile`` definition: index
+``h = p * (n - 1)`` over the sorted values, interpolating between
+``floor(h)`` and ``floor(h) + 1``) without Spark's built-in
+``percentile()``, which buffers every value of a group in executor
+memory — a non-starter when one group holds 10^10 rows.
+
+The trick: integer-ish metrics (token counts, char counts, scores on a
+grid) have a SMALL value domain, so the sorted sequence is fully
+described by the (group, value, count) histogram. One map-side-combining
+groupBy builds the histogram, one per-group cumulative window localizes
+each requested rank to its covering row, one final groupBy interpolates.
+Shuffle volume is O(groups x distinct values), independent of row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: dict[str, float],
+) -> DataFrame:
+    """Per ``group_col``: row count ``n`` plus one exact interpolated
+    percentile column per (name -> p) entry in ``ps``. The value column
+    must be numeric; ties and duplicates are handled exactly (they are
+    the whole point of the histogram form)."""
+    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    h = (
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    )
+
+    v = F.col(value_col).cast("double")
+
+    def covers(rank: Column) -> Column:
+        # the histogram row owning 0-based sorted rank `rank`
+        return (F.col("cum_prev") <= rank) & (F.col("cum") > rank)
+
+    aggs = [F.max("n").alias("n")]
+    for name, p in ps.items():
+        h_idx = F.lit(p) * (F.col("n") - 1)  # constant within a group
+        lo = F.floor(h_idx)
+        hi = F.least(lo + 1, F.col("n") - 1)
+        lo_val = F.min(F.when(covers(lo), v))
+        hi_val = F.min(F.when(covers(hi), v))
+        frac = F.max(h_idx - F.floor(h_idx))
+        aggs.append(
+            F.round(lo_val + frac * (hi_val - lo_val), 2).alias(name)
+        )
+    return h.groupBy(group_col).agg(*aggs)

@@ -1011,3 +1011,38 @@ r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
       FROM s)
 SELECT doc_id, term, tf, df_docs, score, rn FROM r WHERE rn <= 3
 """
+
+# q59: as-of join — DuckDB's native ASOF LEFT JOIN as the oracle for the
+# Spark union+window implementation (operators/asof.py).
+ORACLES["q59_asof_join"] = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+       c.click_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s,
+       CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+# q60: ROLLUP (event_type, day) — subtotal + grand-total rows in one pass.
+ORACLES["q60_rollup_stats"] = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+# q61: exact linear-interpolated percentiles (quantile_cont definition)
+# per language over n_chars.
+ORACLES["q61_char_percentiles"] = """
+SELECT lang, COUNT(*) AS n,
+       ROUND(quantile_cont(n_chars, 0.5), 2) AS p50,
+       ROUND(quantile_cont(n_chars, 0.9), 2) AS p90,
+       ROUND(quantile_cont(n_chars, 0.99), 2) AS p99
+FROM documents GROUP BY lang
+"""

@@ -660,3 +660,49 @@ def test_tfidf_top_terms_known_corpus(spark):
     assert top[3]["term"] == "cherry" and top[3]["tf"] == 3
     # doc 2: banana and cherry tie on tf=1, df=2 -> term asc breaks it
     assert top[2]["term"] == "banana"
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built fixture covering every as-of edge: match-most-recent,
+    equal-timestamp visibility, no-preceding-right null, key isolation."""
+    from ocr_text_recognition_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("p1", "u1", 10), ("p2", "u1", 25), ("p3", "u1", 5), ("p4", "u2", 50)],
+        "pid string, user_id string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("c1", "u1", 8), ("c2", "u1", 10), ("c3", "u1", 20), ("c9", "u3", 1)],
+        "cid string, user_id string, ts long",
+    )
+    out = {
+        r["pid"]: (r["asof_cid"], r["asof_ts"])
+        for r in asof_join(left, right, key="user_id").collect()
+    }
+    assert out["p1"] == ("c2", 10)  # equal ts: right row visible
+    assert out["p2"] == ("c3", 20)  # most recent, not just any earlier
+    assert out["p3"] == (None, None)  # nothing at-or-before -> LEFT nulls
+    assert out["p4"] == (None, None)  # u3's clicks invisible to u2
+
+
+def test_exact_percentiles_matches_numpy(spark):
+    """Histogram-method percentiles equal numpy's linear interpolation on
+    a duplicate-heavy fixture (ties are the method's whole point)."""
+    import numpy as np
+
+    from ocr_text_recognition_spark.operators.stats import exact_percentiles
+
+    vals_a = [1, 1, 1, 2, 5, 5, 9, 100]
+    vals_b = [7]
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    got = {
+        r["grp"]: r
+        for r in exact_percentiles(
+            df, "grp", "x", {"p50": 0.5, "p90": 0.9}
+        ).collect()
+    }
+    for grp, vals in (("a", vals_a), ("b", vals_b)):
+        assert got[grp]["n"] == len(vals)
+        assert got[grp]["p50"] == round(float(np.percentile(vals, 50)), 2)
+        assert got[grp]["p90"] == round(float(np.percentile(vals, 90)), 2)
