@@ -46,11 +46,16 @@ def test_dimension_join_broadcasts(spark, entry):
 
 def test_no_row_at_a_time_python_anywhere(spark, entry):
     """Python may only appear as ArrowEvalPython (pandas/Arrow batches) —
-    BatchEvalPython (pickled row-at-a-time UDF) is forbidden engine-wide."""
+    BatchEvalPython (pickled row-at-a-time UDF) is forbidden engine-wide.
+    Sweeps EVERY driver-contract query (planning only, nothing executes),
+    so a row-Python node in any future query fails here, not at 100 TB."""
     qs = entry.queries()
-    for name in ("q28_extract_main_text", "q29_extraction_pipeline", "q37_ivf_topk"):
-        plan = _plan(qs[name](spark, SF_DIR))
-        assert "BatchEvalPython" not in plan, name
+    offenders = []
+    for name, fn in qs.items():
+        plan = _plan(fn(spark, SF_DIR))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
 
 
 def test_ivf_single_assignment_stage(spark, entry):
