@@ -1178,6 +1178,54 @@ def q61_char_percentiles(spark, sf_dir):
     )
 
 
+def q62_pii_scrub(spark, sf_dir):
+    """PII scrub (operators/curation.py): emails / IPv4 / phone numbers
+    replaced with typed placeholders over text with deterministically
+    synthesized PII (the sf tables carry none). Pure chained
+    regexp_replace — zero-shuffle narrow map. The oracle embeds the SAME
+    pattern strings (PII_PATTERNS) so both engines scrub identically."""
+    from ocr_text_recognition_spark.operators.curation import pii_count, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.substring("text", 1, 40),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" from "),
+                (d % 256).cast("string"),
+                F.lit(".0.0."),
+                ((d * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" or call 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((d * 3) % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        scrub_pii(pii_text).alias("scrubbed"),
+        pii_count(pii_text).alias("n_pii"),
+    )
+
+
+def q63_line_dedup(spark, sf_dir):
+    """C4-style global line dedup (operators/curation.py): drop every
+    duplicate 4-token line corpus-wide except its first occurrence and
+    reassemble documents. One line-keyed shuffle + one doc-keyed shuffle;
+    ~6% of sf0.01 lines are cross-doc duplicates, so the rewrite is
+    exercised for real."""
+    from ocr_text_recognition_spark.operators.curation import dedup_lines
+
+    return dedup_lines(_t(spark, sf_dir, "documents"), "doc_id", "text", line_words=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1241,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_asof_join": q59_asof_join,
         "q60_rollup_stats": q60_rollup_stats,
         "q61_char_percentiles": q61_char_percentiles,
+        "q62_pii_scrub": q62_pii_scrub,
+        "q63_line_dedup": q63_line_dedup,
     }
 
 

@@ -289,3 +289,89 @@ def tfidf_top_terms(
             "rn",
         )
     )
+
+
+# PII scrub patterns, applied in order. Each is simultaneously valid Java
+# regex (Spark) and RE2 (DuckDB oracle): no lookaround, no backrefs — the
+# oracle embeds these exact strings so both engines scrub identically.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone numbers with typed
+    placeholders — the standard pre-training privacy pass. Pure chained
+    `regexp_replace`, JVM-side and codegen'd: a narrow map with zero
+    shuffle, so it composes into any scan for free at 100 TB."""
+    out = text
+    for pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_count(text: Column) -> Column:
+    """Number of PII matches in ``text`` (counted per pattern on the
+    ORIGINAL string; the three patterns are mutually non-overlapping by
+    construction — emails contain letters, IPs contain dots, phones
+    contain dashes)."""
+    total = F.lit(0)
+    for pat, _ in PII_PATTERNS:
+        total = total + F.regexp_count(text, F.lit(pat))
+    return total.cast("long")
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_words: int = 4,
+) -> DataFrame:
+    """C4-style GLOBAL line-level dedup: every duplicate line across the
+    whole corpus is dropped except its first occurrence (order: doc id,
+    then position), and documents are reassembled from their surviving
+    lines. "Lines" here are fixed ``line_words``-token chunks (the corpus
+    has no newlines); with real newline-delimited text, substitute
+    ``split(text, '\\n')`` for the chunker and nothing else changes.
+
+    Scale shape: per-doc line count rides along from the pre-explode
+    projection (no extra window), then ONE shuffle keyed on the line text
+    picks first occurrences (row_number) and ONE shuffle reassembles docs.
+    The line key is the raw string here because the oracle must see it;
+    at 100 TB you would key the first shuffle on xxhash64(line) and keep
+    the text only as payload — same plan shape. Documents whose every
+    line is a later duplicate drop out entirely (C4 semantics).
+    """
+    toks = tokens(F.col(text_col))
+    n_lines = F.ceil(F.size(toks) / F.lit(float(line_words)))
+    lines = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * line_words + 1, line_words)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.posexplode(lines).alias("line_idx", "line"),
+    )
+    w_first = Window.partitionBy("line").orderBy(id_col, "line_idx")
+    kept = pos.withColumn("rn", F.row_number().over(w_first)).filter(
+        F.col("rn") == 1
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("n_lines").alias("n_lines"),
+    )

@@ -1046,3 +1046,44 @@ SELECT lang, COUNT(*) AS n,
        ROUND(quantile_cont(n_chars, 0.99), 2) AS p99
 FROM documents GROUP BY lang
 """
+
+# q62: PII scrub — the regexes are spliced from curation.PII_PATTERNS so
+# Spark and DuckDB run byte-identical patterns (Java regex ∩ RE2 subset).
+from ocr_text_recognition_spark.operators.curation import PII_PATTERNS as _PII
+
+_pii_repl = "t"
+for _pat, _rep in _PII:
+    _pii_repl = f"regexp_replace({_pii_repl}, '{_pat}', '{_rep}', 'g')"
+_pii_cnt = " + ".join(f"len(regexp_extract_all(t, '{p}'))" for p, _ in _PII)
+
+ORACLES["q62_pii_scrub"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         substr(text, 1, 40)
+         || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN ' from ' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.0.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+         || ' or call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents)
+SELECT doc_id, {_pii_repl} AS scrubbed, CAST({_pii_cnt} AS BIGINT) AS n_pii
+FROM s
+"""
+
+# q63: global line dedup — first occurrence by (doc_id, line_idx) wins,
+# docs reassembled from surviving lines in position order.
+ORACLES["q63_line_dedup"] = f"""
+WITH t AS ({_toks("SELECT doc_id, text FROM documents")}),
+l AS (SELECT doc_id, CAST(ceil(len(toks) / 4.0) AS BIGINT) AS n_lines,
+             i AS line_idx,
+             array_to_string(list_slice(toks, i * 4 + 1, i * 4 + 4), ' ') AS line
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, CAST(ceil(len(toks) / 4.0) AS BIGINT) - 1)) AS i
+            FROM t WHERE len(toks) > 0)),
+k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+      FROM l)
+SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(n_lines) AS n_lines
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""

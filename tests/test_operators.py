@@ -706,3 +706,51 @@ def test_exact_percentiles_matches_numpy(spark):
         assert got[grp]["n"] == len(vals)
         assert got[grp]["p50"] == round(float(np.percentile(vals, 50)), 2)
         assert got[grp]["p90"] == round(float(np.percentile(vals, 90)), 2)
+
+
+def test_scrub_pii_patterns(spark):
+    """Each pattern type replaced, non-PII untouched, counts exact."""
+    from ocr_text_recognition_spark.operators.curation import pii_count, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c%d@sub.example.org now"),
+            (2, "host 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call 555-123-4567 please"),
+            (4, "version 1.2 build 34 no pii here"),
+        ],
+        "id int, t string",
+    )
+    out = {
+        r["id"]: (r["s"], r["n"])
+        for r in df.select(
+            "id", F.col("t").alias("t0"),
+            scrub_pii(F.col("t")).alias("s"),
+            pii_count(F.col("t")).alias("n"),
+        ).collect()
+    }
+    assert out[1] == ("mail <EMAIL> now", 1)
+    assert out[2] == ("host <IP> and <IP> up", 2)
+    assert out[3] == ("call <PHONE> please", 1)
+    assert out[4] == ("version 1.2 build 34 no pii here", 0)
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    """Global dedup keeps the (doc_id, line_idx)-first copy of each line;
+    a doc made entirely of later-duplicate lines vanishes."""
+    from ocr_text_recognition_spark.operators.curation import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),      # lines: "a b c d", "e f g h"
+            (2, "e f g h x y z w"),      # "e f g h" dups doc 1 line 1
+            (3, "a b c d e f g h"),      # both lines are dups -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs, line_words=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["clean_text"] == "a b c d e f g h"
+    assert (out[1]["n_kept"], out[1]["n_lines"]) == (2, 2)
+    assert out[2]["clean_text"] == "x y z w"
+    assert (out[2]["n_kept"], out[2]["n_lines"]) == (1, 2)
