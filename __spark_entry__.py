@@ -1226,6 +1226,33 @@ def q63_line_dedup(spark, sf_dir):
     return dedup_lines(_t(spark, sf_dir, "documents"), "doc_id", "text", line_words=4)
 
 
+def q64_range_join(spark, sf_dir):
+    """Keyless point-in-interval join via bin bucketing
+    (operators/rangejoin.py): every click within 300s after any purchase.
+    With only the inequality predicate Catalyst would plan
+    BroadcastNestedLoopJoin (O(L*R)); the manufactured bin key turns it
+    into a shuffled equi-join + exact re-check (plan-pinned). Oracle is
+    DuckDB's native inequality join."""
+    from ocr_text_recognition_spark.operators.rangejoin import point_in_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_timestamp("ts").alias("start_s"),
+        (F.unix_timestamp("ts") + 300).alias("end_s"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.unix_timestamp("ts").alias("click_s"),
+    )
+    out = point_in_interval_join(
+        c, p, point_col="click_s", start_col="start_s", end_col="end_s", bin_width=300
+    )
+    return out.select(
+        "purchase_id", "click_id", (F.col("click_s") - F.col("start_s")).alias("gap_s")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1291,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_char_percentiles": q61_char_percentiles,
         "q62_pii_scrub": q62_pii_scrub,
         "q63_line_dedup": q63_line_dedup,
+        "q64_range_join": q64_range_join,
     }
 
 

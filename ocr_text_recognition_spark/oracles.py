@@ -1087,3 +1087,14 @@ SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS clean_text,
        CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(n_lines) AS n_lines
 FROM k WHERE rn = 1 GROUP BY doc_id
 """
+
+# q64: keyless 300s point-in-interval join — native inequality join in
+# DuckDB vs the Spark bin-bucketed equi-join rewrite.
+ORACLES["q64_range_join"] = """
+WITH p AS (SELECT event_id AS purchase_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, CAST(floor(epoch(ts)) AS BIGINT) AS cs
+      FROM events WHERE event_type = 'click')
+SELECT purchase_id, click_id, cs - s AS gap_s
+FROM p JOIN c ON cs >= s AND cs <= s + 300
+"""

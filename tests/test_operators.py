@@ -754,3 +754,26 @@ def test_dedup_lines_first_occurrence_wins(spark):
     assert (out[1]["n_kept"], out[1]["n_lines"]) == (2, 2)
     assert out[2]["clean_text"] == "x y z w"
     assert (out[2]["n_kept"], out[2]["n_lines"]) == (1, 2)
+
+
+def test_point_in_interval_join_edges(spark):
+    """Inclusive boundaries, bin-crossing intervals, exactly-one-pair per
+    match (the no-dedup-needed property), empty when disjoint."""
+    from ocr_text_recognition_spark.operators.rangejoin import point_in_interval_join
+
+    intervals = spark.createDataFrame(
+        [("i1", 10, 20), ("i2", 95, 205), ("i3", 500, 510)],
+        "iid string, s long, e long",
+    )
+    points = spark.createDataFrame(
+        [("p1", 10), ("p2", 20), ("p3", 100), ("p4", 200), ("p5", 400)],
+        "pid string, x long",
+    )
+    got = sorted(
+        (r["iid"], r["pid"])
+        for r in point_in_interval_join(
+            points, intervals, "x", "s", "e", bin_width=100
+        ).collect()
+    )
+    # i2 spans bins 0,1,2 and catches p3 (bin 1) and p4 (bin 2) ONCE each
+    assert got == [("i1", "p1"), ("i1", "p2"), ("i2", "p3"), ("i2", "p4")]

@@ -237,3 +237,11 @@ def test_curation_plans(spark, entry):
     assert "WindowGroupLimit" in p58
     for name, p in (("q53", p53), ("q56", p56), ("q57", p57), ("q58", p58)):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, entry):
+    """The bin-bucketed rewrite must give Catalyst a real equi-key: a
+    nested-loop/cartesian plan here is O(|clicks| x |purchases|)."""
+    plan = _plan(entry.queries()["q64_range_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
