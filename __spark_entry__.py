@@ -1253,6 +1253,18 @@ def q64_range_join(spark, sf_dir):
     )
 
 
+def q65_weighted_sample(spark, sf_dir):
+    """Deterministic weight-proportional sample (Efraimidis-Spirakis,
+    operators/curation.py): top-25 docs per language with selection
+    probability proportional to n_chars, via a portable integer-hash
+    uniform so DuckDB draws the identical sample. Salted two-level
+    top-K underneath (the q44 scale shape)."""
+    from ocr_text_recognition_spark.operators.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=25, group_cols=["lang"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1319,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_pii_scrub": q62_pii_scrub,
         "q63_line_dedup": q63_line_dedup,
         "q64_range_join": q64_range_join,
+        "q65_weighted_sample": q65_weighted_sample,
     }
 
 

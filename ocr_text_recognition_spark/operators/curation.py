@@ -375,3 +375,32 @@ def dedup_lines(
         F.count("*").cast("long").alias("n_kept"),
         F.max("n_lines").alias("n_lines"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str],
+) -> DataFrame:
+    """Deterministic weight-proportional sampling without replacement
+    (Efraimidis-Spirakis A-ES): each row gets key ln(u) / w for a
+    PORTABLE hash-derived uniform u in (0,1), and the per-group top-K by
+    key are the sample — selection probability rises with ``weight_col``
+    (quality-weighted data selection, the pretraining use case).
+
+    u derives from integer arithmetic both engines compute identically
+    (Knuth multiplicative hash mod a prime — NOT F.hash, which is
+    Spark-private), so the oracle reproduces the exact sample. The top-K
+    rides the two-level salted window, so a mega-group cannot pin a
+    reducer. One shuffle pair, zero Python."""
+    u = ((F.col(id_col) * 2654435761) % 1000003 + 0.5) / 1000003.0
+    key = (F.log(u) / F.col(weight_col)).alias("_wkey")
+    order = [F.col("_wkey").desc(), F.col(id_col).asc()]
+    return (
+        top_k_per_group(
+            df.withColumn("_wkey", key), group_cols, order, k, salt_on=id_col
+        )
+        .drop("_wkey")
+    )

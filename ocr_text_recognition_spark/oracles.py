@@ -1098,3 +1098,17 @@ c AS (SELECT event_id AS click_id, CAST(floor(epoch(ts)) AS BIGINT) AS cs
 SELECT purchase_id, click_id, cs - s AS gap_s
 FROM p JOIN c ON cs >= s AND cs <= s + 300
 """
+
+# q65: A-ES weighted sample — identical integer-hash uniform, ln-key,
+# per-lang top-25.
+ORACLES["q65_weighted_sample"] = """
+WITH s AS (SELECT doc_id, lang, n_chars,
+                  ln((((doc_id * 2654435761) % 1000003) + 0.5) / 1000003.0)
+                  / n_chars AS wkey
+           FROM documents),
+r AS (SELECT doc_id, lang, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY wkey DESC, doc_id) AS INT) AS rn
+      FROM s)
+SELECT doc_id, lang, n_chars, rn FROM r WHERE rn <= 25
+"""

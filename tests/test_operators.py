@@ -777,3 +777,19 @@ def test_point_in_interval_join_edges(spark):
     )
     # i2 spans bins 0,1,2 and catches p3 (bin 1) and p4 (bin 2) ONCE each
     assert got == [("i1", "p1"), ("i1", "p2"), ("i2", "p3"), ("i2", "p4")]
+
+
+def test_weighted_sample_skews_toward_heavy_weights(spark):
+    """A-ES property: with weights 100 vs 1, the heavy half dominates the
+    sample; output is the exact per-group top-k (deterministic)."""
+    from ocr_text_recognition_spark.operators.curation import weighted_sample
+
+    rows = [(i, "g", 100 if i < 100 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    out = weighted_sample(df, "doc_id", "w", k=30, group_cols=["grp"]).collect()
+    assert len(out) == 30
+    heavy = sum(1 for r in out if r["doc_id"] < 100)
+    assert heavy >= 25
+    # deterministic: a second run draws the identical sample
+    again = weighted_sample(df, "doc_id", "w", k=30, group_cols=["grp"]).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
