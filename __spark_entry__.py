@@ -1265,6 +1265,19 @@ def q65_weighted_sample(spark, sf_dir):
     return weighted_sample(docs, "doc_id", "n_chars", k=25, group_cols=["lang"])
 
 
+def q66_global_rank(spark, sf_dir):
+    """Global ROW_NUMBER over all orders by (o_totalprice, o_orderkey)
+    via the histogram-offset form (operators/stats.py) — exact total
+    ranking with ONE full-data shuffle and no single-reducer window.
+    Oracle is DuckDB's plain global ROW_NUMBER."""
+    from ocr_text_recognition_spark.operators.stats import global_rank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_rank(
+        orders, "o_totalprice", "o_orderkey", bin_width=10000.0, rank_col="rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1332,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_line_dedup": q63_line_dedup,
         "q64_range_join": q64_range_join,
         "q65_weighted_sample": q65_weighted_sample,
+        "q66_global_rank": q66_global_rank,
     }
 
 

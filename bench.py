@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "q41_dedup_pipeline",
     "q44_stratified_sample",
     "q45_clean_corpus",
+    "q56_pack_chunks",
+    "q59_asof_join",
+    "q61_char_percentiles",
+    "q63_line_dedup",
+    "q64_range_join",
 ]
 
 

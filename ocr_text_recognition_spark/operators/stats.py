@@ -62,3 +62,43 @@ def exact_percentiles(
             F.round(lo_val + frac * (hi_val - lo_val), 2).alias(name)
         )
     return h.groupBy(group_col).agg(*aggs)
+
+
+def global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    bin_width: float,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Global ROW_NUMBER over (value, tiebreak) ascending WITHOUT the
+    single-reducer window: an empty-PARTITION BY window funnels the whole
+    corpus through one task, the classic driver-shaped bottleneck.
+
+    Two-phase histogram-offset form: rows are bucketed by a PURE function
+    of the value (``floor(value / bin_width)`` — deterministic and
+    lineage-consistent, unlike spark_partition_id over a sampled range
+    exchange), per-bucket counts roll into exclusive prefix offsets (a
+    window over #buckets rows, trivially small), and a per-BUCKET
+    row_number plus the broadcast offset is the exact global rank. One
+    full-data shuffle (the bucket window) — the same count an orderBy
+    would pay — plus a bounded side-agg. A hot bucket is ordinary key
+    skew: size ``bin_width`` so buckets hold ~partition-sized row counts
+    at the target scale, and AQE splits stragglers.
+
+    ``(value_col, tiebreak_col)`` must be a total order (unique
+    tiebreaker), or ranks within ties are nondeterministic."""
+    bucket = F.floor(F.col(value_col) / F.lit(bin_width))
+    b = df.withColumn("_bkt", bucket)
+    counts = b.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_bkt", "_off")
+    w_in = Window.partitionBy("_bkt").orderBy(value_col, tiebreak_col)
+    return (
+        b.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_bkt")
+        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_bkt", "_off", "_rn")
+    )

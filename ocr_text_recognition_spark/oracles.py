@@ -1112,3 +1112,11 @@ r AS (SELECT doc_id, lang, n_chars,
       FROM s)
 SELECT doc_id, lang, n_chars, rn FROM r WHERE rn <= 25
 """
+
+# q66: exact global ranking — single-window truth vs the Spark
+# histogram-offset two-phase form.
+ORACLES["q66_global_rank"] = """
+SELECT o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rank
+FROM orders
+"""

@@ -793,3 +793,26 @@ def test_weighted_sample_skews_toward_heavy_weights(spark):
     # deterministic: a second run draws the identical sample
     again = weighted_sample(df, "doc_id", "w", k=30, group_cols=["grp"]).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_global_rank_equals_single_window(spark):
+    """Histogram-offset global rank is byte-identical to the single-window
+    ROW_NUMBER, including empty buckets, ties on value, and a bucket
+    holding most rows."""
+    from pyspark.sql import Window
+
+    from ocr_text_recognition_spark.operators.stats import global_rank
+
+    rows = [(i, float((i * 37) % 90)) for i in range(300)]
+    rows += [(1000 + i, 5.0) for i in range(20)]  # heavy tie block
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(df, "v", "id", bin_width=10.0).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
