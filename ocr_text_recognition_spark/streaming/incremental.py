@@ -151,3 +151,22 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: Spark's native
+    `dropDuplicatesWithinWatermark` keeps each key's state only until the
+    event-time watermark passes it, so state size tracks the duplicate
+    horizon, not the stream's lifetime — the property that lets an
+    always-on ingest run for months. Duplicates separated by more than the
+    watermark are NOT collapsed (contract); for a durable corpus-lifetime
+    guarantee, compose with the `stream_dedup` foreachBatch path, which
+    checks a persistent signature table."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

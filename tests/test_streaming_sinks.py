@@ -362,3 +362,55 @@ def test_write_corpus_bounds_file_sizes(spark, tmp_path):
     assert len(parts) >= 10
     assert all(pq.read_metadata(p).num_rows <= 100 for p in parts)
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract across two checkpointed
+    availableNow runs: a duplicate key arriving while its state is live is
+    suppressed; a key whose state the watermark already evicted re-emits
+    (bounded state = bounded guarantee, the always-on-ingest trade)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_text_recognition_spark.streaming.incremental import dedup_within_watermark
+
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us"))]
+    )
+    in_dir = tmp_path / "dd_in"
+    in_dir.mkdir()
+
+    def write(name, rows):
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array([r[i] for r in rows], schema.field(i).type) for i in range(2)],
+                schema=schema),
+            str(in_dir / name))
+
+    from datetime import datetime
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)
+    out_dir = str(tmp_path / "dd_out")
+
+    def drain():
+        stream = spark.readStream.schema("event_id long, ts timestamp").parquet(
+            str(in_dir)
+        )
+        out = dedup_within_watermark(stream, ["event_id"], "ts", watermark="2 hours")
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    # run 1: keys 1 (07:00) and 2 (12:00) -> watermark 10:00; key 1's
+    # state (expires 07:00+2h=09:00 < watermark) is evicted, key 2's
+    # (expires 14:00) survives
+    write("b1.parquet", [(1, t(7)), (2, t(12))])
+    drain()
+    # run 2: key 1 re-arrives at 13:00 (state gone -> RE-EMITS), key 2 at
+    # 12:30 (state live -> suppressed), key 3 new (emits)
+    write("b2.parquet", [(1, t(13)), (2, t(12, 30)), (3, t(13, 30))])
+    drain()
+
+    from collections import Counter
+    got = Counter(r["event_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == {1: 2, 2: 1, 3: 1}
