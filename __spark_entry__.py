@@ -1278,6 +1278,20 @@ def q66_global_rank(spark, sf_dir):
     )
 
 
+def q67_quota_sample(spark, sf_dir):
+    """Data-mixture sampling (operators/curation.py): fixed per-source
+    document quotas in deterministic portable-hash order — src2's quota
+    exceeds the group (40 > 25), pinning whole-group under-fill. Salted
+    top-K + broadcast quota join underneath."""
+    from ocr_text_recognition_spark.operators.curation import quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = quota_sample(
+        docs, "doc_id", "source", {"src0": 10, "src1": 5, "src2": 40, "src3": 2}
+    )
+    return out.select("doc_id", "source", "rn")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1346,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_range_join": q64_range_join,
         "q65_weighted_sample": q65_weighted_sample,
         "q66_global_rank": q66_global_rank,
+        "q67_quota_sample": q67_quota_sample,
     }
 
 

@@ -404,3 +404,34 @@ def weighted_sample(
         )
         .drop("_wkey")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    quotas: dict[str, int],
+) -> DataFrame:
+    """Mixture sampling — the pretraining data-mixture primitive: take a
+    fixed per-group quota of rows (deterministic portable-hash order, same
+    uniform as `weighted_sample`), e.g. 40% web / 10% books by document
+    count. Groups absent from ``quotas`` are excluded; a quota larger
+    than the group yields the whole group (mixture under-fill is the
+    caller's signal to re-weight). The quota table rides a broadcast
+    join; ranking is the two-level salted top-K, so a mega-source cannot
+    pin a reducer. Appends the per-group sample rank ``rn``."""
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(g, int(q)) for g, q in sorted(quotas.items())],
+        f"{group_col} string, _quota int",
+    )
+    u = (F.col(id_col) * 2654435761) % 1000003
+    order = [u.asc(), F.col(id_col).asc()]
+    ranked = top_k_per_group(
+        df.join(F.broadcast(qdf), group_col),
+        [group_col],
+        order,
+        k=max(quotas.values()),
+        salt_on=id_col,
+    )
+    return ranked.filter(F.col("rn") <= F.col("_quota")).drop("_quota")

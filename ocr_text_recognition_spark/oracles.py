@@ -1120,3 +1120,14 @@ SELECT o_orderkey, o_totalprice,
        ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rank
 FROM orders
 """
+
+# q67: quota/mixture sample — identical portable-hash order per source.
+ORACLES["q67_quota_sample"] = """
+WITH q(source, quota) AS (VALUES ('src0', 10), ('src1', 5), ('src2', 40), ('src3', 2)),
+r AS (SELECT d.doc_id, d.source, q.quota,
+             CAST(ROW_NUMBER() OVER (
+                 PARTITION BY d.source
+                 ORDER BY (d.doc_id * 2654435761) % 1000003, d.doc_id) AS INT) AS rn
+      FROM documents d JOIN q ON d.source = q.source)
+SELECT doc_id, source, rn FROM r WHERE rn <= quota
+"""

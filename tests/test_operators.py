@@ -816,3 +816,22 @@ def test_global_rank_equals_single_window(spark):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_quota_sample_respects_quotas_and_underfill(spark):
+    from ocr_text_recognition_spark.operators.curation import quota_sample
+
+    rows = [(i, "a" if i < 50 else ("b" if i < 60 else "c")) for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = quota_sample(df, "doc_id", "src", {"a": 7, "b": 30}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["src"], []).append(r["doc_id"])
+    assert len(by["a"]) == 7          # quota honored
+    assert len(by["b"]) == 10         # under-fill: whole group
+    assert "c" not in by              # unlisted source excluded
+    # deterministic across runs
+    again = quota_sample(df, "doc_id", "src", {"a": 7, "b": 30}).collect()
+    assert sorted((r["src"], r["doc_id"]) for r in out) == sorted(
+        (r["src"], r["doc_id"]) for r in again
+    )
