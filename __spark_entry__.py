@@ -1292,6 +1292,20 @@ def q67_quota_sample(spark, sf_dir):
     return out.select("doc_id", "source", "rn")
 
 
+def q68_hashed_linear_score(spark, sf_dir):
+    """Model inference in pure SQL (operators/textanalysis.py): a hashed-
+    feature linear classifier (fastText shape) scores every document via
+    explode -> broadcast model join -> one doc-keyed aggregate. The demo
+    weight table is integer/256-valued so the oracle sums bit-identically."""
+    from ocr_text_recognition_spark.operators.textanalysis import (
+        demo_weight_table,
+        hashed_linear_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, demo_weight_table(spark), "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1361,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_weighted_sample": q65_weighted_sample,
         "q66_global_rank": q66_global_rank,
         "q67_quota_sample": q67_quota_sample,
+        "q68_hashed_linear_score": q68_hashed_linear_score,
     }
 
 

@@ -154,3 +154,44 @@ def rolling_fingerprint(text: Column, n: int = 3) -> Column:
     """Content-defined fingerprint: minimum md5 over word n-gram shingles —
     stable under small edits (the rolling-hash document fingerprint)."""
     return F.array_min(F.transform(shingles(text, n), F.md5))
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """FastText-style linear quality-classifier INFERENCE as pure SQL:
+    tokens hash into ``n_buckets`` feature buckets (first 16 md5 bits,
+    portable), bucket weights come from the broadcast ``weights`` model
+    table (columns ``bucket``, ``weight`` — trained offline; even a 2M-
+    bucket model is a few MB), and each document scores
+    sigmoid(mean bucket weight). Explode -> broadcast join -> one groupBy:
+    model inference over a 100 TB corpus with zero Python and shuffle
+    only on the doc key. Emits (id, n_tok, score rounded to 4)."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    b = tok.withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+    j = b.join(F.broadcast(weights), "bucket")
+    x = F.sum("weight") / F.count("*")
+    return j.groupBy(id_col).agg(
+        F.count("*").alias("n_tok"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 4).alias("score"),
+    )
+
+
+def demo_weight_table(spark, n_buckets: int = 1024) -> DataFrame:
+    """Deterministic stand-in for a trained model: integer-valued weights
+    scaled by 1/256 (exactly representable doubles, so the oracle's sum
+    is bit-identical regardless of accumulation order)."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") * 2654435761) % 1024 - 512) / 256.0).alias("weight"),
+    )

@@ -1131,3 +1131,19 @@ r AS (SELECT d.doc_id, d.source, q.quota,
       FROM documents d JOIN q ON d.source = q.source)
 SELECT doc_id, source, rn FROM r WHERE rn <= quota
 """
+
+# q68: hashed-feature linear scoring — same md5 bucket hash, same
+# integer/256 weight table, sigmoid of the exact mean.
+ORACLES["q68_hashed_linear_score"] = f"""
+WITH t AS ({_toks("SELECT doc_id, text FROM documents")}),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+b AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 1024 AS bucket
+      FROM tok),
+w AS (SELECT i AS bucket, ((i * 2654435761) % 1024 - 512) / 256.0 AS weight
+      FROM (SELECT unnest(generate_series(0, 1023)) AS i)),
+j AS (SELECT doc_id, weight FROM b JOIN w USING (bucket))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       ROUND(1.0 / (1.0 + exp(-(SUM(weight) / COUNT(*)))), 4) AS score
+FROM j GROUP BY doc_id
+"""

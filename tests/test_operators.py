@@ -835,3 +835,28 @@ def test_quota_sample_respects_quotas_and_underfill(spark):
     assert sorted((r["src"], r["doc_id"]) for r in out) == sorted(
         (r["src"], r["doc_id"]) for r in again
     )
+
+
+def test_hashed_linear_score_hand_computed(spark):
+    """Two-token doc against a two-bucket-hit weight table: score equals
+    sigmoid of the hand-computed mean; unknown-bucket tokens drop via the
+    inner model join (zero-weight semantics would use a left join)."""
+    import math
+
+    from ocr_text_recognition_spark.operators.textanalysis import (
+        hashed_linear_score,
+    )
+
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    # compute the buckets the operator will derive, then weight them
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 1024
+
+    w = spark.createDataFrame(
+        [(bucket("alpha"), 1.0), (bucket("beta"), 2.0)], "bucket long, weight double"
+    )
+    row = hashed_linear_score(docs, w).collect()[0]
+    want = round(1.0 / (1.0 + math.exp(-1.5)), 4)
+    assert (row["n_tok"], row["score"]) == (2, want)
