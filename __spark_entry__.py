@@ -1306,6 +1306,15 @@ def q68_hashed_linear_score(spark, sf_dir):
     return hashed_linear_score(docs, demo_weight_table(spark), "doc_id", "text")
 
 
+def q69_funnel(spark, sf_dir):
+    """Earliest-completion ordered funnel view -> click -> purchase per
+    user (operators/funnel.py): greedy per-step minimum, one user-keyed
+    join + min-agg per step, no per-user history buffering."""
+    from ocr_text_recognition_spark.operators.funnel import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1376,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_global_rank": q66_global_rank,
         "q67_quota_sample": q67_quota_sample,
         "q68_hashed_linear_score": q68_hashed_linear_score,
+        "q69_funnel": q69_funnel,
     }
 
 

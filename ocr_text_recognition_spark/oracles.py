@@ -1147,3 +1147,20 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
        ROUND(1.0 / (1.0 + exp(-(SUM(weight) / COUNT(*)))), 4) AS score
 FROM j GROUP BY doc_id
 """
+
+# q69: earliest-completion ordered funnel (strictly increasing step
+# times, greedy per-step minimum).
+ORACLES["q69_funnel"] = """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY e.user_id)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+       CAST((s1.t1 IS NOT NULL) AS INT) + CAST((s2.t2 IS NOT NULL) AS INT)
+       + CAST((s3.t3 IS NOT NULL) AS INT) AS reached
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""

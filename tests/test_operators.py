@@ -860,3 +860,27 @@ def test_hashed_linear_score_hand_computed(spark):
     row = hashed_linear_score(docs, w).collect()[0]
     want = round(1.0 / (1.0 + math.exp(-1.5)), 4)
     assert (row["n_tok"], row["score"]) == (2, want)
+
+
+def test_funnel_strict_order_and_partials(spark):
+    """Steps must be strictly ordered in time: a click at-or-before the
+    first view doesn't count; users stall at their last completed step."""
+    from datetime import datetime
+
+    from ocr_text_recognition_spark.operators.funnel import funnel
+
+    t = lambda m: datetime(2026, 1, 1, 10, m)
+    rows = [
+        # u1 completes: view@1, click@5 (the @0 click is too early), buy@9
+        (1, "click", t(0)), (1, "view", t(1)), (1, "click", t(5)), (1, "purchase", t(9)),
+        # u2: view@2, click@2 (tie -> NOT after) -> stalls at step 1
+        (2, "view", t(2)), (2, "click", t(2)),
+        # u3: never views -> absent even though they purchase
+        (3, "purchase", t(3)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["user_id"]: r for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["reached"] == 3
+    assert (out[1]["t2"] - out[1]["t1"], out[1]["t3"] - out[1]["t2"]) == (240, 240)
+    assert out[2]["reached"] == 1 and out[2]["t2"] is None and out[2]["t3"] is None
