@@ -1315,6 +1315,35 @@ def q69_funnel(spark, sf_dir):
     return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
 
 
+def q70_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (operators/similarity.py), emitted in
+    long (label, idx, c) form for the oracle: shuffle O(labels x dim)
+    after map-side combine, row-count independent."""
+    from ocr_text_recognition_spark.operators.similarity import group_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = group_centroids(emb, "label")
+    return cents.select(
+        "label", "n", F.posexplode("centroid").alias("idx", "c")
+    )
+
+
+def q71_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-activity week,
+    distinct active users per (cohort_week, week_offset). Two user-keyed
+    aggregates + one user-keyed join — the standard retention triangle,
+    all map-side-combining."""
+    ev = _t(spark, sf_dir, "events")
+    week = (F.floor(F.unix_timestamp("ts") / F.lit(604800))).cast("long")
+    acts = ev.select("user_id", week.alias("week"))
+    cohorts = acts.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        acts.join(cohorts, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1386,6 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_quota_sample": q67_quota_sample,
         "q68_hashed_linear_score": q68_hashed_linear_score,
         "q69_funnel": q69_funnel,
+        "q70_label_centroids": q70_label_centroids,
+        "q71_cohort_retention": q71_cohort_retention,
     }
 
 

@@ -284,3 +284,27 @@ def embedding_near_dup(
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def group_centroids(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean vector per group — the centroid/prototype pass
+    (IVF codebook refresh, per-class prototypes, drift monitoring).
+    posexplode -> (group, dim) partial-aggregated average -> ordered
+    reassembly: shuffle volume is O(groups x dim) AFTER map-side combine,
+    independent of row count, so averaging 10^10 vectors moves the same
+    bytes as 10^4. Emits (group, n, centroid array<double> rounded 4)."""
+    pos = df.select(
+        F.col(group_col), F.posexplode(vec_col).alias("idx", "v")
+    )
+    agg = pos.groupBy(group_col, "idx").agg(
+        F.round(F.avg(F.col("v").cast("double")), 4).alias("m"),
+        F.count("*").alias("n"),
+    )
+    return agg.groupBy(group_col).agg(
+        F.max("n").alias("n"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("idx", "m"))), lambda s: s["m"]
+        ).alias("centroid"),
+    )

@@ -1164,3 +1164,26 @@ SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
        + CAST((s3.t3 IS NOT NULL) AS INT) AS reached
 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
+
+# q70: per-label embedding centroids, long form.
+ORACLES["q70_label_centroids"] = """
+WITH p AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM (SELECT label, embedding,
+                        unnest(generate_series(1, len(embedding))) AS i
+                 FROM embeddings))
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n, i - 1 AS idx,
+       ROUND(AVG(v), 4) AS c
+FROM p GROUP BY label, i
+"""
+
+# q71: cohort retention triangle (first-activity epoch-week cohorts).
+ORACLES["q71_cohort_retention"] = """
+WITH a AS (SELECT user_id,
+                  CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week
+           FROM events),
+c AS (SELECT user_id, MIN(week) AS cohort_week FROM a GROUP BY user_id)
+SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY c.cohort_week, a.week - c.cohort_week
+"""

@@ -884,3 +884,15 @@ def test_funnel_strict_order_and_partials(spark):
     assert out[1]["reached"] == 3
     assert (out[1]["t2"] - out[1]["t1"], out[1]["t3"] - out[1]["t2"]) == (240, 240)
     assert out[2]["reached"] == 1 and out[2]["t2"] is None and out[2]["t3"] is None
+
+
+def test_group_centroids_hand_computed(spark):
+    from ocr_text_recognition_spark.operators.similarity import group_centroids
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 6.0]), ("b", [5.0, 5.0])],
+        "g string, embedding array<double>",
+    )
+    out = {r["g"]: r for r in group_centroids(df, "g").collect()}
+    assert out["a"]["n"] == 2 and out["a"]["centroid"] == [2.0, 4.0]
+    assert out["b"]["n"] == 1 and out["b"]["centroid"] == [5.0, 5.0]
