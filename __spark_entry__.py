@@ -1344,6 +1344,23 @@ def q71_cohort_retention(spark, sf_dir):
     )
 
 
+def q72_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (SCD2) interval build: each user's
+    purchase history becomes validity ranges [valid_from, valid_to) via
+    one per-key lead() window — the warehouse change-history pattern;
+    open intervals carry null valid_to."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.round("value", 2).alias("value"),
+        F.unix_timestamp("ts").alias("valid_from_s"),
+        F.unix_timestamp(F.lead("ts").over(w)).alias("valid_to_s"),
+        (F.lead("ts").over(w).isNull()).cast("int").alias("is_current"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1417,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_funnel": q69_funnel,
         "q70_label_centroids": q70_label_centroids,
         "q71_cohort_retention": q71_cohort_retention,
+        "q72_scd2_intervals": q72_scd2_intervals,
     }
 
 

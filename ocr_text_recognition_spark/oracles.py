@@ -1187,3 +1187,13 @@ SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
 FROM a JOIN c USING (user_id)
 GROUP BY c.cohort_week, a.week - c.cohort_week
 """
+
+# q72: SCD2 validity intervals via per-key lead().
+ORACLES["q72_scd2_intervals"] = """
+SELECT user_id, event_id AS version_id, ROUND(value, 2) AS value,
+       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+       CAST(floor(epoch(LEAD(ts) OVER w)) AS BIGINT) AS valid_to_s,
+       CAST(LEAD(ts) OVER w IS NULL AS INT) AS is_current
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
