@@ -1361,6 +1361,27 @@ def q72_scd2_intervals(spark, sf_dir):
     )
 
 
+def q73_inverted_index(spark, sf_dir):
+    """Inverted index over documents (operators/index.py): distinct-
+    per-doc explode, one token-keyed map-side-combining shuffle,
+    [min_df, max_df] band keeps hapax noise and stop-token hot keys out
+    of the postings shard."""
+    from ocr_text_recognition_spark.operators.index import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", min_df=3, max_df=400)
+
+
+def q74_key_skew_profile(spark, sf_dir):
+    """Frequency-of-frequencies skew profile of events.user_id
+    (operators/stats.py): per power-of-two band of per-key row count,
+    the pre-shuffle diagnostic that decides salting. Integer bit-length
+    banding — no float log2 at 2^k boundaries."""
+    from ocr_text_recognition_spark.operators.stats import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "events"), "user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1435,6 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_label_centroids": q70_label_centroids,
         "q71_cohort_retention": q71_cohort_retention,
         "q72_scd2_intervals": q72_scd2_intervals,
+        "q73_inverted_index": q73_inverted_index,
+        "q74_key_skew_profile": q74_key_skew_profile,
     }
 
 

@@ -102,3 +102,31 @@ def global_rank(
         .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_bkt", "_off", "_rn")
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Frequency-of-frequencies skew profile of a join/agg key — the
+    diagnostic that decides whether a key needs salting BEFORE the 10^12
+    -row shuffle runs. Per power-of-two band of per-key row count
+    (band = floor(log2(cnt)), computed as bit-length - 1 in pure integer
+    arithmetic so 2^k never lands on a float boundary): how many keys
+    fall in the band, how many rows they carry, and the band's min/max
+    key cardinality. A healthy key shows rows concentrated in low bands;
+    a top band holding a macroscopic row share is the salting signal.
+
+    Two aggregations: the per-key count (map-side combining, the same
+    shuffle any groupBy on the key would pay) and a #distinct-keys-sized
+    rollup — output is O(log(max key count)) rows regardless of input
+    size."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    band = (F.length(F.conv(F.col("cnt").cast("string"), 10, 2)) - 1).cast("int")
+    return (
+        counts.withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.min("cnt").alias("min_cnt"),
+            F.max("cnt").alias("max_cnt"),
+        )
+    )

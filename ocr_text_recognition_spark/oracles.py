@@ -1197,3 +1197,30 @@ SELECT user_id, event_id AS version_id, ROUND(value, 2) AS value,
 FROM events WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+# q73: inverted index — distinct tokens per doc, token-keyed aggregate,
+# ascending doc-id posting string, [min_df, max_df] band.
+ORACLES["q73_inverted_index"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+           t -> t <> ''))) AS token
+  FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tok GROUP BY token
+HAVING COUNT(*) BETWEEN 3 AND 400
+"""
+
+# q74: key-skew profile — per power-of-two band of per-key count
+# (integer bit-length banding, no float log2).
+ORACLES["q74_key_skew_profile"] = """
+WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+SELECT CAST(length(bin(cnt)) - 1 AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt
+FROM c GROUP BY band
+"""

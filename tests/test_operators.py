@@ -896,3 +896,46 @@ def test_group_centroids_hand_computed(spark):
     out = {r["g"]: r for r in group_centroids(df, "g").collect()}
     assert out["a"]["n"] == 2 and out["a"]["centroid"] == [2.0, 4.0]
     assert out["b"]["n"] == 1 and out["b"]["centroid"] == [5.0, 5.0]
+
+
+def test_inverted_index_postings_and_df_band(spark):
+    from ocr_text_recognition_spark.operators.index import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (10, "apple banana  apple"),   # apple deduped within doc
+            (2, "banana cherry"),
+            (1, "apple cherry"),
+            (3, "unique banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in
+           inverted_index(docs, "doc_id", "text", min_df=2).collect()}
+    # hapax dropped
+    assert "unique" not in out
+    assert out["apple"]["df"] == 2
+    # numeric sort: 1 before 10
+    assert out["apple"]["postings"] == "1,10"
+    assert out["banana"]["postings"] == "2,3,10"
+    # max_df cap drops the hot token
+    capped = {r["token"] for r in
+              inverted_index(docs, "doc_id", "text", min_df=2, max_df=2).collect()}
+    assert capped == {"apple", "cherry"}
+
+
+def test_key_skew_profile_bands(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_text_recognition_spark.operators.stats import key_skew_profile
+
+    # key 'a' x1 (band 0), 'b' x2, 'c' x3 (band 1), 'd' x8 (band 3: 2^k
+    # lands exactly on its own band, the float-log2 trap)
+    rows = [("a",)] + [("b",)] * 2 + [("c",)] * 3 + [("d",)] * 8
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["band"]: r for r in key_skew_profile(df, "k").collect()}
+    assert set(out) == {0, 1, 3}
+    assert out[0]["n_keys"] == 1 and out[0]["n_rows"] == 1
+    assert out[1]["n_keys"] == 2 and out[1]["n_rows"] == 5
+    assert out[1]["min_cnt"] == 2 and out[1]["max_cnt"] == 3
+    assert out[3]["n_keys"] == 1 and out[3]["n_rows"] == 8
