@@ -1382,6 +1382,43 @@ def q74_key_skew_profile(spark, sf_dir):
     return key_skew_profile(_t(spark, sf_dir, "events"), "user_id")
 
 
+def q75_url_dedup(spark, sf_dir):
+    """Crawl-frontier URL dedup (operators/urls.py): raw URLs are
+    synthesized deterministically from doc_id/source (mixed-case scheme
+    and host, www. prefix, default and non-default ports, trailing
+    slash, shuffled + utm_* query params, fragments), canonicalized in
+    a zero-shuffle narrow map, and collapsed with one groupBy. The
+    oracle rebuilds the identical raw strings and canonicalization in
+    DuckDB SQL."""
+    from ocr_text_recognition_spark.operators.urls import url_dedup
+
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 8 == 1, F.lit(":8080"))
+        .when(
+            d % 4 == 0,
+            F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (d % 7).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 3 == 1, F.lit("?a=1&b=2&utm_campaign=x"))
+        .otherwise(F.lit("?b=2&a=1")),
+        F.when(d % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", raw.alias("url")
+    )
+    return url_dedup(docs, "url", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1458,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_scd2_intervals": q72_scd2_intervals,
         "q73_inverted_index": q73_inverted_index,
         "q74_key_skew_profile": q74_key_skew_profile,
+        "q75_url_dedup": q75_url_dedup,
     }
 
 

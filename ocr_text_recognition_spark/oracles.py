@@ -1224,3 +1224,62 @@ SELECT CAST(length(bin(cnt)) - 1 AS INT) AS band,
        CAST(MAX(cnt) AS BIGINT) AS max_cnt
 FROM c GROUP BY band
 """
+
+# q75: URL canonicalization + dedup. The raw-URL synthesis is the same
+# deterministic expression as the Spark side; the canonicalization is an
+# independent DuckDB re-derivation (regexp parse, default-port strip,
+# www./fragment/trailing-slash strip, utm_* filter, param sort).
+ORACLES["q75_url_dedup"] = """
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+    source || '.Example.COM' ||
+    (CASE WHEN doc_id % 8 = 1 THEN ':8080'
+          WHEN doc_id % 4 = 0 THEN
+            (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END)
+          ELSE '' END) ||
+    '/Docs/' || CAST(doc_id % 7 AS VARCHAR) ||
+    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+          WHEN doc_id % 3 = 1 THEN '?a=1&b=2&utm_campaign=x'
+          ELSE '?b=2&a=1' END) ||
+    (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+         string_split(url, '#')[1] AS nf
+  FROM raw),
+pieces AS (
+  SELECT doc_id,
+         lower(regexp_extract(nf, '^([a-zA-Z]+)://', 1)) AS scheme,
+         regexp_extract(nf, '^[a-zA-Z]+://([^/?#]+)', 1) AS auth,
+         regexp_replace(nf, '^[a-zA-Z]+://[^/?#]+', '') AS rest
+  FROM parts),
+norm AS (
+  SELECT doc_id, scheme,
+         regexp_replace(lower(regexp_replace(auth, ':[0-9]+$', '')),
+                        '^www\\.', '') AS host,
+         regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+         regexp_replace(string_split(rest, '?')[1], '/+$', '') AS path1,
+         regexp_extract(rest, '\\?(.*)$', 1) AS qs
+  FROM pieces),
+canon AS (
+  SELECT doc_id,
+    scheme || '://' || host ||
+    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+               OR (scheme = 'https' AND port = '443')
+          THEN '' ELSE ':' || port END) ||
+    (CASE WHEN path1 = '' THEN '/' ELSE path1 END) ||
+    (CASE WHEN len(list_filter(string_split(qs, '&'),
+                  p -> p <> '' AND NOT starts_with(p, 'utm_'))) = 0
+          THEN ''
+          ELSE '?' || array_to_string(
+            list_sort(list_filter(string_split(qs, '&'),
+              p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') END)
+    AS canonical
+  FROM norm)
+SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_raw,
+       MIN(doc_id) AS canonical_id
+FROM canon GROUP BY canonical
+"""

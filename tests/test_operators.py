@@ -939,3 +939,45 @@ def test_key_skew_profile_bands(spark):
     assert out[1]["n_keys"] == 2 and out[1]["n_rows"] == 5
     assert out[1]["min_cnt"] == 2 and out[1]["max_cnt"] == 3
     assert out[3]["n_keys"] == 1 and out[3]["n_rows"] == 8
+
+
+def test_canonical_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_text_recognition_spark.operators.urls import canonical_url
+
+    cases = [
+        # scheme/host case, www., default port, fragment, utm, param sort
+        ("HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&b=2&a=1#frag",
+         "https://ex.com/A/b?a=1&b=2"),
+        # non-default port kept; path case preserved
+        ("http://ex.com:8080/Path", "http://ex.com:8080/Path"),
+        # :80 is default for http but NOT for https
+        ("https://ex.com:80/x", "https://ex.com:80/x"),
+        # empty path -> '/', empty query dropped
+        ("http://Ex.Com", "http://ex.com/"),
+        # root slash survives; all-utm query vanishes
+        ("http://ex.com/?utm_a=1&utm_b=2", "http://ex.com/"),
+        # multiple trailing slashes
+        ("http://ex.com/a///", "http://ex.com/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_collapses_spellings(spark):
+    from ocr_text_recognition_spark.operators.urls import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://WWW.a.com/x?b=2&a=1"),
+            (2, "HTTP://a.com:80/x/?a=1&b=2&utm_c=3#f"),
+            (3, "http://a.com/y"),
+        ],
+        "id long, url string",
+    )
+    out = {r["canonical"]: r for r in url_dedup(df, "url", "id").collect()}
+    assert out["http://a.com/x?a=1&b=2"]["n_raw"] == 2
+    assert out["http://a.com/x?a=1&b=2"]["canonical_id"] == 1
+    assert out["http://a.com/y"]["n_raw"] == 1
