@@ -1419,6 +1419,41 @@ def q75_url_dedup(spark, sf_dir):
     return url_dedup(docs, "url", "doc_id")
 
 
+def q76_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join (operators/rangejoin.py):
+    click attention windows [t, t+300] vs purchase windows [t, t+600]
+    per user, bin-bucketed with the later-start dedup rule — no
+    nested-loop plan, no post-join dropDuplicates shuffle."""
+    from ocr_text_recognition_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        t.alias("c_start"),
+        (t + 300).alias("c_end"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("buy_id"),
+        t.alias("p_start"),
+        (t + 600).alias("p_end"),
+    )
+    j = interval_overlap_join(
+        a, b, "c_start", "c_end", "p_start", "p_end", 600, keys=("user_id",)
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "buy_id",
+        F.greatest("c_start", "p_start").alias("ov_start"),
+        F.least("c_end", "p_end").alias("ov_end"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1496,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_inverted_index": q73_inverted_index,
         "q74_key_skew_profile": q74_key_skew_profile,
         "q75_url_dedup": q75_url_dedup,
+        "q76_interval_overlap": q76_interval_overlap,
     }
 
 

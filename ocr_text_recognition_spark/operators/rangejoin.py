@@ -59,3 +59,56 @@ def point_in_interval_join(
     ]
     joined = binned_i.alias("i").join(binned_p.alias("p"), on, "inner")
     return joined.select(*out_cols)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Inner join of two interval sets on CLOSED overlap
+    (``l_start <= r_end AND r_start <= l_end``, plus equal ``keys``)
+    without a nested-loop plan.
+
+    Both sides explode to every bin they touch and equi-join on the bin
+    id; unlike the point join, an overlapping pair can now meet in MANY
+    shared bins, so a dedup rule is needed. Instead of a post-join
+    ``dropDuplicates`` (a second full shuffle), the join keeps a pair
+    only in the bin containing ``greatest(l_start, r_start)`` — the
+    later of the two starts, which lies inside BOTH intervals whenever
+    they overlap, so every true pair survives in exactly one bin and
+    the output is duplicate-free straight off the join. Work is
+    O(rows x bins_per_interval + true_pairs); non-key column names
+    must be disjoint between the two inputs."""
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / F.lit(bin_width)),
+                    F.floor(F.col(e) / F.lit(bin_width)),
+                )
+            ),
+        )
+
+    bl, br = binned(left, l_start, l_end), binned(right, r_start, r_end)
+    on = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    on.append(F.col("l._bin") == F.col("r._bin"))
+    on.append(F.col(f"l.{l_start}") <= F.col(f"r.{r_end}"))
+    on.append(F.col(f"r.{r_start}") <= F.col(f"l.{l_end}"))
+    on.append(
+        F.col("l._bin")
+        == F.floor(
+            F.greatest(F.col(f"l.{l_start}"), F.col(f"r.{r_start}"))
+            / F.lit(bin_width)
+        )
+    )
+    out_cols = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c not in keys
+    ]
+    return bl.alias("l").join(br.alias("r"), on, "inner").select(*out_cols)

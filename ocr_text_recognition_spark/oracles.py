@@ -1283,3 +1283,22 @@ SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_raw,
        MIN(doc_id) AS canonical_id
 FROM canon GROUP BY canonical
 """
+
+# q76: interval x interval overlap join — DuckDB uses the plain
+# inequality join (its optimizer plans IEJoin natively; Spark needs the
+# bin-bucketed manufactured equi-key).
+ORACLES["q76_interval_overlap"] = """
+WITH a AS (SELECT user_id, event_id AS click_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS c_start,
+                  CAST(floor(epoch(ts)) AS BIGINT) + 300 AS c_end
+           FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id, event_id AS buy_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS p_start,
+             CAST(floor(epoch(ts)) AS BIGINT) + 600 AS p_end
+      FROM events WHERE event_type = 'purchase')
+SELECT a.user_id, click_id, buy_id,
+       GREATEST(c_start, p_start) AS ov_start,
+       LEAST(c_end, p_end) AS ov_end
+FROM a JOIN b ON a.user_id = b.user_id
+             AND c_start <= p_end AND p_start <= c_end
+"""

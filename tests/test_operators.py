@@ -981,3 +981,27 @@ def test_url_dedup_collapses_spellings(spark):
     assert out["http://a.com/x?a=1&b=2"]["n_raw"] == 2
     assert out["http://a.com/x?a=1&b=2"]["canonical_id"] == 1
     assert out["http://a.com/y"]["n_raw"] == 1
+
+
+def test_interval_overlap_join_dedup_and_edges(spark):
+    from ocr_text_recognition_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    # [0, 5000] x [4900, 20000]: overlap spans many shared 100-wide
+    # bins -> must emit the pair exactly ONCE (later-start dedup rule)
+    a = spark.createDataFrame(
+        [(1, 0, 5000), (2, 100, 200), (3, 300, 400)],
+        "a_id long, s long, e long",
+    )
+    b = spark.createDataFrame(
+        [(10, 4900, 20000), (11, 200, 300), (12, 401, 500)],
+        "b_id long, bs long, be long",
+    )
+    out = interval_overlap_join(a, b, "s", "e", "bs", "be", 100).collect()
+    pairs = sorted((r["a_id"], r["b_id"]) for r in out)
+    # (1,10): wide overlap emitted once; (1,11),(1,12): contained;
+    # (2,11) and (3,11): closed endpoints touch at a single point
+    # (200 and 300); (3,12): 401 > 400 -> no pair.
+    assert pairs == [(1, 10), (1, 11), (1, 12), (2, 11), (3, 11)]
+    assert len(pairs) == len(set(pairs))  # no bin-duplicated pairs

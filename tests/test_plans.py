@@ -245,3 +245,10 @@ def test_range_join_is_equi_join_not_nested_loop(spark, entry):
     plan = _plan(entry.queries()["q64_range_join"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_is_equi_join_not_nested_loop(spark, entry):
+    """Same contract as q64 for the interval x interval form."""
+    plan = _plan(entry.queries()["q76_interval_overlap"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
