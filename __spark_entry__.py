@@ -1454,6 +1454,16 @@ def q76_interval_overlap(spark, sf_dir):
     )
 
 
+def q77_bigram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality filter (operators/lm.py): add-one-smoothed
+    bigram log-prob per document, trained on the corpus's own bigram /
+    context counts. Per-bigram log2 scaled to BIGINT before the per-doc
+    fold, so the sum is exact integer arithmetic in both engines."""
+    from ocr_text_recognition_spark.operators.lm import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1532,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_key_skew_profile": q74_key_skew_profile,
         "q75_url_dedup": q75_url_dedup,
         "q76_interval_overlap": q76_interval_overlap,
+        "q77_bigram_lm_score": q77_bigram_lm_score,
     }
 
 

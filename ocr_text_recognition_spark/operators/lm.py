@@ -1,0 +1,82 @@
+"""Count-based bigram language-model scoring — the CCNet/Wikipedia-LM
+perplexity filter, re-expressed without an external model artifact.
+
+Web-scale curation pipelines score every document by how "language-like"
+it is under a reference LM and drop the tails. The model here is the
+simplest thing that exercises the full distributed shape: add-one-
+smoothed bigram probabilities ``p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)``
+trained on the corpus itself (swap the two count tables for a reference
+corpus's to get the real CCNet setup — the plan is identical).
+
+Scale shape:
+- train = two map-side-combining aggregates over the exploded bigram
+  stream (bigram counts keyed (w1, w2); context counts keyed w1) plus a
+  1-row vocabulary size that broadcast-crossJoins into the plan;
+- score = the document bigram stream joins the two count tables on
+  their natural keys (both shuffled joins co-partition with the
+  aggregates that produced them) and folds per doc_id;
+- the per-bigram log-probability is scaled to an exact BIGINT
+  (``floor(log2(p) * 1e6)``) BEFORE the per-document sum, so the fold
+  is pure integer arithmetic — order-independent and bit-identical
+  across engines, the same trick the hashed-linear scorer uses. The
+  float average only appears once, rounded, at the very end.
+
+Documents with fewer than 2 tokens have no bigrams and drop out (score
+them with the unigram fallback upstream if they matter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textanalysis import tokens
+
+SCALE = 1_000_000
+
+
+def doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent token pair per document
+    (zip of the two shifted slices; no index sequence, no UDF)."""
+    t = tokens(F.col(text_col))
+    withtok = docs.select(
+        F.col(id_col).alias("doc_id"), t.alias("toks"), F.size(t).alias("n")
+    ).filter(F.col("n") >= 2)
+    pair = F.explode(
+        F.arrays_zip(
+            F.slice("toks", 1, F.col("n") - 1),
+            F.slice("toks", 2, F.col("n") - 1),
+        )
+    ).alias("bg")
+    out = withtok.select("doc_id", pair)
+    a, b = out.schema["bg"].dataType.names
+    return out.select(
+        "doc_id", F.col(f"bg.{a}").alias("w1"), F.col(f"bg.{b}").alias("w2")
+    )
+
+
+def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per document: bigram count and average add-one-smoothed bigram
+    log2-probability under the corpus's own bigram counts."""
+    big = doc_bigrams(docs, id_col, text_col)
+    bgc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("_vocab"))
+    )
+    p = (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("_vocab"))
+    lp = F.floor(F.log2(p) * F.lit(SCALE)).cast("long")
+    scored = (
+        big.join(bgc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("lp").alias("sum_lp_scaled"),
+        F.round(F.sum("lp") / F.lit(float(SCALE)) / F.count("*"), 4).alias(
+            "avg_log2p"
+        ),
+    )

@@ -1302,3 +1302,32 @@ SELECT a.user_id, click_id, buy_id,
 FROM a JOIN b ON a.user_id = b.user_id
              AND c_start <= p_end AND p_start <= c_end
 """
+
+# q77: bigram LM scoring. Per-bigram log2-prob scaled to BIGINT via
+# floor(x * 1e6) BEFORE the per-doc sum -> integer fold, exact in both
+# engines; the only float emitted is the final rounded average.
+ORACLES["q77_bigram_lm_score"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     t -> t <> '') AS toks
+  FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM toks WHERE len(toks) >= 2),
+bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+ctx AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT tok) AS vocab
+      FROM (SELECT unnest(toks) AS tok FROM toks)),
+scored AS (
+  SELECT big.doc_id,
+         CAST(floor(log2((bgc.c12 + 1.0) / (ctx.c1 + v.vocab)) * 1000000)
+              AS BIGINT) AS lp
+  FROM big JOIN bgc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lp) AS BIGINT) AS sum_lp_scaled,
+       ROUND(SUM(lp) / 1000000.0 / COUNT(*), 4) AS avg_log2p
+FROM scored GROUP BY doc_id
+"""

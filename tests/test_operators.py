@@ -1005,3 +1005,25 @@ def test_interval_overlap_join_dedup_and_edges(spark):
     # (200 and 300); (3,12): 401 > 400 -> no pair.
     assert pairs == [(1, 10), (1, 11), (1, 12), (2, 11), (3, 11)]
     assert len(pairs) == len(set(pairs))  # no bin-duplicated pairs
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    import math
+
+    from ocr_text_recognition_spark.operators.lm import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           bigram_lm_score(docs, "doc_id", "text").collect()}
+    # corpus bigrams: (a,b)x3, (b,a)x1; contexts a=3, b=1; V=3 (a,b,solo)
+    lp_ab = math.floor(math.log2((3 + 1.0) / (3 + 3)) * 1_000_000)
+    lp_ba = math.floor(math.log2((1 + 1.0) / (1 + 3)) * 1_000_000)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_lp_scaled"] == 2 * lp_ab + lp_ba
+    assert out[1]["avg_log2p"] == round((2 * lp_ab + lp_ba) / 1e6 / 3, 4)
+    assert out[2]["sum_lp_scaled"] == lp_ab
+    # a 1-token doc has no bigrams and drops out
+    assert 3 not in out
