@@ -1464,6 +1464,21 @@ def q77_bigram_lm_score(spark, sf_dir):
     return bigram_lm_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q78_pagerank(spark, sf_dir):
+    """Host-graph PageRank (operators/graph.py): 3 exact-integer
+    (parts-per-million) iterations over a deterministic synthetic link
+    graph derived from orders — bit-identical across engines, one join
+    + one aggregate per iteration."""
+    from ocr_text_recognition_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 40).alias("src"),
+        (F.col("o_orderkey") % 37).alias("dst"),
+    )
+    return pagerank(edges, iterations=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1543,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_url_dedup": q75_url_dedup,
         "q76_interval_overlap": q76_interval_overlap,
         "q77_bigram_lm_score": q77_bigram_lm_score,
+        "q78_pagerank": q78_pagerank,
     }
 
 

@@ -1331,3 +1331,28 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        ROUND(SUM(lp) / 1000000.0 / COUNT(*), 4) AS avg_log2p
 FROM scored GROUP BY doc_id
 """
+
+# q78: integer PageRank, 3 unrolled iterations. Ranks are BIGINT ppm;
+# per-edge contribution uses exact integer floor division, so every
+# iteration is bit-identical across engines.
+ORACLES["q78_pagerank"] = """
+WITH e0 AS (SELECT DISTINCT o_custkey % 40 AS src, o_orderkey % 37 AS dst
+            FROM orders),
+nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+od AS (SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, od.outdeg FROM e0 JOIN od USING (src)),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+c1 AS (SELECT dst, SUM((rank * 850000) // (1000000 * outdeg)) AS s
+       FROM e JOIN r0 ON e.src = r0.node GROUP BY dst),
+r1 AS (SELECT node, CAST(150000 + COALESCE(s, 0) AS BIGINT) AS rank
+       FROM nodes LEFT JOIN c1 ON node = dst),
+c2 AS (SELECT dst, SUM((rank * 850000) // (1000000 * outdeg)) AS s
+       FROM e JOIN r1 ON e.src = r1.node GROUP BY dst),
+r2 AS (SELECT node, CAST(150000 + COALESCE(s, 0) AS BIGINT) AS rank
+       FROM nodes LEFT JOIN c2 ON node = dst),
+c3 AS (SELECT dst, SUM((rank * 850000) // (1000000 * outdeg)) AS s
+       FROM e JOIN r2 ON e.src = r2.node GROUP BY dst),
+r3 AS (SELECT node, CAST(150000 + COALESCE(s, 0) AS BIGINT) AS rank
+       FROM nodes LEFT JOIN c3 ON node = dst)
+SELECT node, rank AS rank_ppm FROM r3
+"""

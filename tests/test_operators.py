@@ -1027,3 +1027,16 @@ def test_bigram_lm_score_hand_computed(spark):
     assert out[2]["sum_lp_scaled"] == lp_ab
     # a 1-token doc has no bigrams and drops out
     assert 3 not in out
+
+
+def test_pagerank_integer_hand_computed(spark):
+    from ocr_text_recognition_spark.operators.graph import pagerank
+
+    # a->b, a->c, b->c, c->a (plus a duplicate edge that must collapse)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (0, 1)], "src long, dst long"
+    )
+    r1 = {r["node"]: r["rank_ppm"] for r in pagerank(edges, iterations=1).collect()}
+    assert r1 == {0: 1_000_000, 1: 575_000, 2: 1_425_000}
+    r2 = {r["node"]: r["rank_ppm"] for r in pagerank(edges, iterations=2).collect()}
+    assert r2 == {0: 1_361_250, 1: 575_000, 2: 1_063_750}
