@@ -1479,6 +1479,15 @@ def q78_pagerank(spark, sf_dir):
     return pagerank(edges, iterations=3)
 
 
+def q79_collocations(spark, sf_dir):
+    """PMI collocation mining (operators/lm.py): adjacent-pair counts
+    vs LHS/RHS marginals, PMI as a single log of exact integer
+    products. min_count=5 prunes the noise tail pre-join."""
+    from ocr_text_recognition_spark.operators.lm import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), "doc_id", "text", min_count=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1559,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_interval_overlap": q76_interval_overlap,
         "q77_bigram_lm_score": q77_bigram_lm_score,
         "q78_pagerank": q78_pagerank,
+        "q79_collocations": q79_collocations,
     }
 
 

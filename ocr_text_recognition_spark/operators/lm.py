@@ -80,3 +80,43 @@ def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "avg_log2p"
         ),
     )
+
+
+def collocations(
+    docs: DataFrame, id_col: str, text_col: str, min_count: int = 5
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs —
+    collocation mining for tokenizer vocab / phrase detection.
+
+    ``pmi(w1, w2) = log2(c12 * N / (c1 * c2))`` with c1/c2 the LHS/RHS
+    marginal counts and N the total bigram count (a 1-row broadcast).
+    Three map-side-combining aggregates over one shared bigram stream,
+    two marginal joins keyed on single tokens, and the PMI itself is a
+    single log of a ratio of EXACT integer products (no float
+    accumulation anywhere; c12 * N must stay under 2^53 — at larger
+    scales rescale both sides by a common power of two first).
+    ``min_count`` prunes the noise tail before the joins, which also
+    caps the marginal-join fan-in."""
+    big = doc_bigrams(docs, id_col, text_col)
+    n = big.agg(F.count("*").alias("_n"))
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= F.lit(min_count))
+    )
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = big.groupBy("w2").agg(F.count("*").alias("c2"))
+    return (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log2((F.col("c12") * F.col("_n")) / (F.col("c1") * F.col("c2"))),
+                4,
+            ).alias("pmi"),
+        )
+    )

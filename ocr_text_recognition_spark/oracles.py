@@ -1356,3 +1356,26 @@ r3 AS (SELECT node, CAST(150000 + COALESCE(s, 0) AS BIGINT) AS rank
        FROM nodes LEFT JOIN c3 ON node = dst)
 SELECT node, rank AS rank_ppm FROM r3
 """
+
+# q79: PMI collocations — single log of a ratio of exact integer
+# products; no float accumulation.
+ORACLES["q79_collocations"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     t -> t <> '') AS toks
+  FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM toks WHERE len(toks) >= 2),
+n AS (SELECT COUNT(*) AS _n FROM big),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+        HAVING COUNT(*) >= 5),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+c2 AS (SELECT w2, COUNT(*) AS c2 FROM big GROUP BY w2)
+SELECT w1, w2, c12,
+       ROUND(log2((c12 * _n) / (c1 * c2 * 1.0)), 4) AS pmi
+FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+"""

@@ -1040,3 +1040,17 @@ def test_pagerank_integer_hand_computed(spark):
     assert r1 == {0: 1_000_000, 1: 575_000, 2: 1_425_000}
     r2 = {r["node"]: r["rank_ppm"] for r in pagerank(edges, iterations=2).collect()}
     assert r2 == {0: 1_361_250, 1: 575_000, 2: 1_063_750}
+
+
+def test_collocations_pmi_hand_computed(spark):
+    from ocr_text_recognition_spark.operators.lm import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b c")], "doc_id long, text string"
+    )
+    # bigrams: (a,b) x3, (b,a) x2, (b,c) x1; N=6; c1(a)=3, c2(b)=3
+    out = collocations(docs, "doc_id", "text", min_count=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["w1"], r["w2"], r["c12"]) == ("a", "b", 3)
+    assert r["pmi"] == 1.0  # log2(3*6 / (3*3))
