@@ -1488,6 +1488,24 @@ def q79_collocations(spark, sf_dir):
     return collocations(_t(spark, sf_dir, "documents"), "doc_id", "text", min_count=5)
 
 
+def q80_kmeans_step(spark, sf_dir):
+    """One k-means Lloyd iteration (operators/similarity.py) seeded by
+    the 8 lowest vec_ids: broadcast-scored assignment via the
+    dot-product identity, centroid refresh in long (cluster, n, idx, c)
+    form for the oracle."""
+    from ocr_text_recognition_spark.operators.similarity import kmeans_lloyd_step
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    seeds = emb.filter(F.col("vec_id") < 8)
+    out = kmeans_lloyd_step(emb, seeds)
+    return out.select(
+        "cluster", "n", F.posexplode("centroid").alias("idx", "c")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1569,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_bigram_lm_score": q77_bigram_lm_score,
         "q78_pagerank": q78_pagerank,
         "q79_collocations": q79_collocations,
+        "q80_kmeans_step": q80_kmeans_step,
     }
 
 

@@ -308,3 +308,46 @@ def group_centroids(
             F.sort_array(F.collect_list(F.struct("idx", "m"))), lambda s: s["m"]
         ).alias("centroid"),
     )
+
+
+def kmeans_lloyd_step(
+    embeddings: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration of k-means — the IVF codebook training step.
+
+    Assignment: broadcast the k seed centroids (k is small by
+    construction — it's a codebook), score every vector against each via
+    squared L2 written as the dot-product identity
+    ``<v,v> - 2<v,c> + <c,c>`` — three sequential-fold dot products, the
+    same primitive the brute-force ranker uses, so the arithmetic is
+    reproducible across engines — and keep the (dist2, cluster)-minimal
+    row per vector (per-vector window, high cardinality key, no skew).
+    Update: re-averages members per cluster through
+    ``group_centroids`` — shuffle O(k x dim) after map-side combine.
+
+    Iterating = feeding the output centroids back as ``seeds``; each
+    round is one broadcast-scored narrow map + one vector-keyed window
+    + one combining aggregate. Returns (cluster, n, centroid)."""
+    s = F.broadcast(
+        seeds.select(
+            F.col(id_col).alias("cluster"), F.col(vec_col).alias("cv")
+        )
+    )
+    v = F.col(vec_col)
+    dist2 = dot(v, v) - F.lit(2.0) * dot(v, F.col("cv")) + dot(
+        F.col("cv"), F.col("cv")
+    )
+    scored = embeddings.crossJoin(s).select(
+        id_col, "cluster", dist2.alias("dist2")
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "cluster")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cluster")
+    )
+    members = embeddings.join(assign, id_col).select("cluster", vec_col)
+    return group_centroids(members, "cluster", vec_col)

@@ -1172,7 +1172,7 @@ WITH p AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
                         unnest(generate_series(1, len(embedding))) AS i
                  FROM embeddings))
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n, i - 1 AS idx,
-       ROUND(AVG(v), 4) AS c
+       ROUND(AVG(v), 4) + 0.0 AS c
 FROM p GROUP BY label, i
 """
 
@@ -1378,4 +1378,30 @@ c2 AS (SELECT w2, COUNT(*) AS c2 FROM big GROUP BY w2)
 SELECT w1, w2, c12,
        ROUND(log2((c12 * _n) / (c1 * c2 * 1.0)), 4) AS pmi
 FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+"""
+
+# q80: one k-means Lloyd step. dist2 uses the same dot-product identity
+# as the Spark side (three sequential-fold inner products), argmin via
+# per-vector row_number with cluster tiebreak, centroid refresh in long
+# form like q70.
+ORACLES["q80_kmeans_step"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+s AS (SELECT vec_id AS cluster, emb AS cv FROM e WHERE vec_id < 8),
+d AS (SELECT e.vec_id, s.cluster,
+             list_inner_product(e.emb, e.emb)
+               - 2.0 * list_inner_product(e.emb, s.cv)
+               + list_inner_product(s.cv, s.cv) AS dist2
+      FROM e CROSS JOIN s),
+a AS (SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cluster) AS rn
+        FROM d) WHERE rn = 1),
+m AS (SELECT a.cluster, e.emb FROM e JOIN a USING (vec_id)),
+p AS (SELECT cluster, i, CAST(emb[i] AS DOUBLE) AS v
+      FROM (SELECT cluster, emb,
+                   unnest(generate_series(1, len(emb))) AS i FROM m))
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n, i - 1 AS idx,
+       ROUND(AVG(v), 4) + 0.0 AS c
+FROM p GROUP BY cluster, i
 """

@@ -1054,3 +1054,22 @@ def test_collocations_pmi_hand_computed(spark):
     r = out[0]
     assert (r["w1"], r["w2"], r["c12"]) == ("a", "b", 3)
     assert r["pmi"] == 1.0  # log2(3*6 / (3*3))
+
+
+def test_kmeans_lloyd_step_assignment_and_update(spark):
+    from ocr_text_recognition_spark.operators.similarity import kmeans_lloyd_step
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),   # seed for cluster 0
+            (1, [10.0, 0.0]),  # seed for cluster 1
+            (2, [1.0, 1.0]),
+            (3, [9.0, 1.0]),
+            (4, [5.0, 0.0]),   # equidistant -> lowest cluster id wins
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["cluster"]: r for r in
+           kmeans_lloyd_step(emb, emb.filter("vec_id < 2")).collect()}
+    assert out[0]["n"] == 3 and out[0]["centroid"] == [2.0, 0.3333]
+    assert out[1]["n"] == 2 and out[1]["centroid"] == [9.5, 0.5]
