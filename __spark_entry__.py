@@ -1506,6 +1506,32 @@ def q80_kmeans_step(spark, sf_dir):
     )
 
 
+def q81_snapshot_diff(spark, sf_dir):
+    """Re-crawl changelog (operators/snapshot.py): the 'new' snapshot is
+    a deterministic mutation of documents (doc_id%10==0 removed,
+    %7==1 revised, %13==2 re-added under a shifted id); the diff is a
+    hash-reduced full-outer join emitting added/removed/changed only."""
+    from ocr_text_recognition_spark.operators.snapshot import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    new = (
+        docs.filter(d % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(d % 7 == 1, F.concat("text", F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(d % 13 == 2).select(
+                (d + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(docs, new, "doc_id", ["text"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1588,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_pagerank": q78_pagerank,
         "q79_collocations": q79_collocations,
         "q80_kmeans_step": q80_kmeans_step,
+        "q81_snapshot_diff": q81_snapshot_diff,
     }
 
 

@@ -1,0 +1,45 @@
+"""Snapshot diff — the changelog between two corpus versions.
+
+Recurring-crawl pipelines re-ingest the same sources and need to know
+what actually changed before spending compute downstream: only `added`
+and `changed` documents re-enter extraction/dedup, `removed` ids
+propagate as deletes to derived tables. Comparing full payloads would
+move the whole corpus through the join twice, so each side reduces to
+(id, md5(payload)) first — the join then shuffles two narrow columns,
+co-partitioned on the id key, and the full-outer join classifies every
+id in one pass. `unchanged` rows (the overwhelming majority between
+consecutive crawls) are dropped before anything else sees them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """(id, status) for every id whose presence or payload hash differs
+    between ``old`` and ``new``; status in added / removed / changed."""
+    def hashed(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(F.concat_ws("\x1f", *payload_cols)).alias(name),
+        )
+
+    j = hashed(old, "old_h").join(hashed(new, "new_h"), id_col, "full_outer")
+    status = (
+        F.when(F.col("old_h").isNull(), F.lit("added"))
+        .when(F.col("new_h").isNull(), F.lit("removed"))
+        .when(F.col("old_h") != F.col("new_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(id_col, status.alias("status")).filter(
+        F.col("status") != "unchanged"
+    )

@@ -1405,3 +1405,23 @@ SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n, i - 1 AS idx,
        ROUND(AVG(v), 4) + 0.0 AS c
 FROM p GROUP BY cluster, i
 """
+
+# q81: snapshot diff. Oracle classifies by direct text comparison
+# (independent of the Spark side's md5 reduction).
+ORACLES["q81_snapshot_diff"] = """
+WITH o AS (SELECT doc_id, text FROM documents),
+n AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 1 THEN text || ' [rev2]' ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text
+      FROM documents WHERE doc_id % 13 = 2),
+j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             o.text AS ot, n.text AS nt
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+       CASE WHEN ot IS NULL THEN 'added'
+            WHEN nt IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM j WHERE ot IS NULL OR nt IS NULL OR ot <> nt
+"""

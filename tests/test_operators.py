@@ -1073,3 +1073,20 @@ def test_kmeans_lloyd_step_assignment_and_update(spark):
            kmeans_lloyd_step(emb, emb.filter("vec_id < 2")).collect()}
     assert out[0]["n"] == 3 and out[0]["centroid"] == [2.0, 0.3333]
     assert out[1]["n"] == 2 and out[1]["centroid"] == [9.5, 0.5]
+
+
+def test_snapshot_diff_statuses(spark):
+    from ocr_text_recognition_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")],
+        "id long, t string, u string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "y"), (3, "c", "CHANGED"), (4, "d", "w")],
+        "id long, t string, u string",
+    )
+    out = {r["id"]: r["status"] for r in
+           snapshot_diff(old, new, "id", ["t", "u"]).collect()}
+    # 2 is unchanged -> absent; multi-column payload feeds the hash
+    assert out == {1: "removed", 3: "changed", 4: "added"}
