@@ -170,3 +170,35 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def session_window_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session-window aggregation per user: events closer than
+    ``gap`` merge into one session whose end extends ``gap`` past its
+    last event. This is Spark's built-in stateful session operator —
+    sessions that straddle micro-batches merge in state, and a session
+    only finalizes (append mode) once the event-time watermark passes
+    its end, which also bounds state. Batch twin: the same plan runs on
+    a static DataFrame, where it agrees with the lag+cumsum
+    ``operators/sessionize.gap_sessionize`` grouping (pinned by test;
+    boundary nit — session_window splits at diff >= gap, gap_sessionize
+    at diff > gap)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

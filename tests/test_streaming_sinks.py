@@ -414,3 +414,99 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     from collections import Counter
     got = Counter(r["event_id"] for r in spark.read.parquet(out_dir).collect())
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_session_window_batch_equals_gap_sessionize(spark):
+    """The native session_window grouping must agree with the lag+cumsum
+    gap_sessionize on data away from the exact-gap boundary."""
+    from datetime import datetime
+
+    from ocr_text_recognition_spark.operators.sessionize import gap_sessionize
+    from ocr_text_recognition_spark.streaming.incremental import (
+        session_window_counts,
+    )
+
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)
+    rows = [
+        (1, t(9, 0), 1.0), (1, t(9, 10), 2.0), (1, t(9, 25), 3.0),
+        (1, t(11, 0), 4.0),                      # > 30 min gap -> new
+        (2, t(9, 0), 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    sw = session_window_counts(ev, gap="30 minutes").collect()
+    got = {(r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+           for r in sw}
+    assert got == {
+        (1, t(9, 0), 3, 6.0),
+        (1, t(11, 0), 1, 4.0),
+        (2, t(9, 0), 1, 5.0),
+    }
+
+    gs = gap_sessionize(
+        ev.withColumn("tsec", F.unix_timestamp("ts")), ["user_id"], "tsec", 1800
+    )
+    twin = {
+        (r["user_id"], r["start"], r["n"], r["s"])
+        for r in gs.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert {(u, st, n, s) for u, st, n, s in twin} == got
+
+
+def test_session_window_streaming_merges_across_microbatches(spark, tmp_path):
+    """A session started in batch 1 absorbs a batch-2 event, and only
+    finalizes (append mode) once a later event pushes the watermark past
+    its end."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_text_recognition_spark.streaming.incremental import (
+        session_window_counts,
+    )
+
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("value", pa.float64())]
+    )
+
+    def write(name, rows):
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array([r[i] for r in rows], schema.field(i).type)
+                 for i in range(3)],
+                schema=schema),
+            str(in_dir / name))
+
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)
+    out_dir = str(tmp_path / "sess_out")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(str(in_dir))
+        out = session_window_counts(stream, gap="30 minutes", watermark="1 hour")
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    write("b1.parquet", [(1, t(9, 0), 1.0), (1, t(9, 20), 2.0)])
+    drain()
+    # 9:40 merges into the batch-1 session (state carries across runs);
+    # 14:00 pushes the watermark to 13:00 -> the merged session (end
+    # 10:10) finalizes and appears in append output
+    write("b2.parquet", [(1, t(9, 40), 4.0), (1, t(14, 0), 8.0)])
+    drain()
+
+    rows = {(r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert (1, t(9, 0), 3, 7.0) in rows
+    # the 14:00 session is still open (watermark has not passed its end)
+    assert not any(st == t(14, 0) for _, st, _, _ in rows)
