@@ -1532,6 +1532,21 @@ def q81_snapshot_diff(spark, sf_dir):
     return snapshot_diff(docs, new, "doc_id", ["text"])
 
 
+def q82_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts over the q78 link graph
+    (operators/graph.py): degree-ordered forward counting, each
+    triangle found exactly once. Oracle runs the id-ordered textbook
+    algorithm — different algorithm, same triangles."""
+    from ocr_text_recognition_spark.operators.graph import triangle_counts
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 40).alias("src"),
+        (F.col("o_orderkey") % 37).alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1615,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_collocations": q79_collocations,
         "q80_kmeans_step": q80_kmeans_step,
         "q81_snapshot_diff": q81_snapshot_diff,
+        "q82_triangle_counts": q82_triangle_counts,
     }
 
 

@@ -79,3 +79,66 @@ def pagerank(
             .alias("rank"),
         )
     return ranks.select("node", F.col("rank").alias("rank_ppm"))
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts — the clustering-coefficient numerator,
+    used to find tightly-linked host farms in a crawl graph.
+
+    Algorithm: degree-ordered forward counting. Edges canonicalize to
+    an undirected, self-loop-free DISTINCT set, then orient from the
+    endpoint with the smaller (degree, node) key to the larger. Every
+    triangle then appears as exactly one wedge (two out-edges of its
+    lowest-key vertex) closed by one oriented edge — no double
+    counting, no post-dedup. Orienting by DEGREE (not raw id) is the
+    standard fan-out bound: a hub of degree d contributes wedges only
+    toward higher-degree endpoints, making total wedge volume
+    O(m^{3/2}) instead of O(sum d^2) — the difference between a
+    feasible and an impossible join on a power-law web graph. The
+    composite order key packs (degree, node) into one BIGINT
+    (degree * 2^32 + node; node ids must fit 32 bits — re-key first at
+    larger scales).
+
+    Shuffles: degree agg, two orientation joins, the wedge self-join
+    (keyed on the low vertex), and the closure join (keyed on the
+    candidate edge). Oracle twin uses the id-ordered textbook variant —
+    a genuinely different algorithm arriving at the same triangles."""
+    e0 = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    key = (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("okey")
+    dk = deg.select("node", key)
+    withk = (
+        e0.join(dk.withColumnRenamed("node", "u").withColumnRenamed("okey", "ku"), "u")
+        .join(dk.withColumnRenamed("node", "v").withColumnRenamed("okey", "kv"), "v")
+    )
+    oriented = withk.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.least("ku", "kv").alias("klo"),
+        F.greatest("ku", "kv").alias("khi"),
+    )
+    x = oriented.select("lo", F.col("hi").alias("b"), F.col("khi").alias("kb"))
+    y = oriented.select("lo", F.col("hi").alias("c"), F.col("khi").alias("kc"))
+    wedges = x.join(y, "lo").filter(F.col("kb") < F.col("kc"))
+    closure = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tri = wedges.join(closure, ["b", "c"]).select("lo", "b", "c")
+    corners = (
+        tri.select(F.col("lo").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

@@ -1425,3 +1425,20 @@ SELECT doc_id,
             ELSE 'changed' END AS status
 FROM j WHERE ot IS NULL OR nt IS NULL OR ot <> nt
 """
+
+# q82: per-node triangle counts — id-ordered textbook join (the Spark
+# side uses degree-ordered forward counting; same triangle set).
+ORACLES["q82_triangle_counts"] = """
+WITH raw AS (SELECT o_custkey % 40 AS src, o_orderkey % 37 AS dst FROM orders),
+e0 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM raw WHERE src <> dst),
+t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e0 e1
+      JOIN e0 e2 ON e2.u = e1.v
+      JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (SELECT a AS node FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+"""

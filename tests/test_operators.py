@@ -1090,3 +1090,15 @@ def test_snapshot_diff_statuses(spark):
            snapshot_diff(old, new, "id", ["t", "u"]).collect()}
     # 2 is unchanged -> absent; multi-column payload feeds the hash
     assert out == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    from ocr_text_recognition_spark.operators.graph import triangle_counts
+
+    # K4 on {0,1,2,3} (4 triangles, each node in 3) with noise:
+    # duplicate edge, reversed edge, self-loop, and a pendant node 9
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(1, 0), (2, 3), (2, 2), (3, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}  # pendant 9 absent
