@@ -1547,6 +1547,54 @@ def q82_triangle_counts(spark, sf_dir):
     return triangle_counts(edges)
 
 
+def q83_trailing_window(spark, sf_dir):
+    """Per-user trailing 1-hour event count/sum (operators/stats.py):
+    integer range frame over epoch seconds with cent-scaled values —
+    exact rolling sums, no float accumulation."""
+    from ocr_text_recognition_spark.operators.stats import trailing_window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    out = trailing_window(ev, "user_id", "t", "cents", 3600)
+    return out.select("user_id", "event_id", "t", "n_trailing", "sum_trailing")
+
+
+def q84_group_ols_slope(spark, sf_dir):
+    """Per-user purchase-spend trend (operators/stats.py): exact-integer
+    OLS slope of cent-value vs rebased epoch seconds; only the final
+    quotient is float."""
+    from ocr_text_recognition_spark.operators.stats import group_ols_slope
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return group_ols_slope(ev, "user_id", "t", "cents")
+
+
+def q85_customers_without_orders(spark, sf_dir):
+    """Anti-join coverage (§2.7): customers with no order above 250k
+    via left_anti — the null-safe NOT EXISTS plan (no outer-join +
+    null-filter detour); the filter is pushed below the join build
+    side."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("ck"))
+    )
+    return c.join(o, c["c_custkey"] == o["ck"], "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1631,6 +1679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_kmeans_step": q80_kmeans_step,
         "q81_snapshot_diff": q81_snapshot_diff,
         "q82_triangle_counts": q82_triangle_counts,
+        "q83_trailing_window": q83_trailing_window,
+        "q84_group_ols_slope": q84_group_ols_slope,
+        "q85_customers_without_orders": q85_customers_without_orders,
     }
 
 

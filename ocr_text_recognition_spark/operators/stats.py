@@ -130,3 +130,69 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
             F.max("cnt").alias("max_cnt"),
         )
     )
+
+
+def trailing_window(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    seconds: int,
+) -> DataFrame:
+    """Event-time trailing aggregate (`RANGE BETWEEN seconds PRECEDING
+    AND CURRENT ROW`): per row, the count and sum of the group's values
+    in the closed trailing window. The frame is a range frame over an
+    INTEGER epoch column with an INTEGER value column — no float
+    accumulation, so the rolling sums are exact and order-independent.
+    One shuffle on the group key; frames never cross groups, so skew
+    follows the key distribution (profile with key_skew_profile)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(ts_col)
+        .rangeBetween(-seconds, 0)
+    )
+    return df.select(
+        "*",
+        F.count("*").over(w).alias("n_trailing"),
+        F.sum(value_col).over(w).alias("sum_trailing"),
+    )
+
+
+def group_ols_slope(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group simple-regression slope (trend detection: is a host's
+    quality drifting? is a user's spend rising?) in EXACT integer
+    arithmetic. x and y must be integer columns; x is rebased by the
+    per-group minimum first — slope is shift-invariant, and rebasing
+    keeps sum(x*x) far from BIGINT overflow for epoch-second inputs
+    (raw epoch² already exceeds int64 after ~3 rows). Two combining
+    aggregates (the min pass, then the moment sums) joined on the group
+    key; the only float is the final rounded quotient of two exactly-
+    computed integers. Groups with n < 2 or zero x-variance drop out."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    mins = base.groupBy("g").agg(F.min("x").alias("x0"))
+    r = base.join(mins, "g").select(
+        "g", (F.col("x") - F.col("x0")).alias("x"), "y"
+    )
+    s = r.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.filter((F.col("n") >= 2) & (denom > 0))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").cast("long").alias("n"),
+            F.round(num * F.lit(1.0) / denom, 6).alias("slope"),
+        )
+    )

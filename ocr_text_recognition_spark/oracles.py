@@ -1442,3 +1442,46 @@ corners AS (SELECT a AS node FROM t
 SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY node
 """
+
+# q83: trailing 1h range-frame window — integer epoch + cent values,
+# exact rolling sums.
+ORACLES["q83_trailing_window"] = """
+WITH e AS (SELECT user_id, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT user_id, event_id, t,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(SUM(cents) OVER w AS BIGINT) AS sum_trailing
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+# q84: per-group OLS slope — moment sums over rebased integer x, exact
+# until the final rounded quotient.
+ORACLES["q84_group_ols_slope"] = """
+WITH e AS (SELECT user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+m AS (SELECT user_id, MIN(t) AS t0 FROM e GROUP BY user_id),
+r AS (SELECT e.user_id, e.t - m.t0 AS x, e.cents AS y
+      FROM e JOIN m USING (user_id)),
+s AS (SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM r GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+FROM s WHERE n >= 2 AND n * sxx - sx * sx > 0
+"""
+
+# q85: anti-join — customers with no order above 250k (NOT EXISTS twin).
+ORACLES["q85_customers_without_orders"] = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 250000)
+"""

@@ -1102,3 +1102,38 @@ def test_triangle_counts_k4_plus_pendant(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}  # pendant 9 absent
+
+
+def test_trailing_window_exact(spark):
+    from ocr_text_recognition_spark.operators.stats import trailing_window
+
+    rows = [
+        ("u", 1, 0, 10), ("u", 2, 50, 20), ("u", 3, 100, 30),
+        ("u", 4, 161, 40),   # window [101, 161] excludes t=100
+        ("v", 5, 0, 5),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, t long, v long")
+    out = {r["id"]: (r["n_trailing"], r["sum_trailing"]) for r in
+           trailing_window(df, "g", "t", "v", 60).collect()}
+    # closed window [t-60, t]: id2 sees t=0 (50-60=-10 <= 0), id3 sees
+    # 50,100 plus t=40? no, 100-60=40 -> 50 and 100; id4 sees 101..161
+    assert out[1] == (1, 10)
+    assert out[2] == (2, 30)
+    assert out[3] == (2, 50)
+    assert out[4] == (1, 40)
+    assert out[5] == (1, 5)
+
+
+def test_group_ols_slope_hand_computed(spark):
+    from ocr_text_recognition_spark.operators.stats import group_ols_slope
+
+    rows = [
+        ("a", 1000, 10), ("a", 1001, 12), ("a", 1002, 14),  # slope 2
+        ("b", 5, 7), ("b", 15, 2),                           # slope -0.5
+        ("c", 9, 1),                                         # n=1 -> out
+        ("d", 4, 3), ("d", 4, 9),                            # no x-var
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: (r["n"], r["slope"]) for r in
+           group_ols_slope(df, "g", "x", "y").collect()}
+    assert out == {"a": (3, 2.0), "b": (2, -0.5)}
