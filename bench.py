@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "q61_char_percentiles",
     "q63_line_dedup",
     "q64_range_join",
+    "q73_inverted_index",
+    "q77_bigram_lm_score",
+    "q80_kmeans_step",
+    "q82_triangle_counts",
 ]
 
 
