@@ -1595,6 +1595,75 @@ def q85_customers_without_orders(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q86_pivot_event_matrix(spark, sf_dir):
+    """Pivot coverage: per-user event-type count matrix via
+    groupBy().pivot() with an EXPLICIT value list — open-ended pivot
+    needs a distinct-scan pre-pass and breaks lineage determinism at
+    scale; a declared vocabulary keeps it one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+def q87_unpivot_event_matrix(spark, sf_dir):
+    """Unpivot/melt coverage: the q86 matrix back to long form via
+    DataFrame.unpivot — narrow width-to-rows expansion, no shuffle
+    beyond q86's."""
+    wide = q86_pivot_event_matrix(spark, sf_dir)
+    return wide.unpivot(
+        ["user_id"],
+        [f"n_{t}" for t in _EVENT_TYPES],
+        "metric",
+        "n",
+    )
+
+
+def q88_priority_price_deciles(spark, sf_dir):
+    """NTILE coverage: order-price deciles PER priority class (the
+    partitioned form — a global ntile is the q66 single-reducer
+    anti-pattern); unique orderkey tiebreak makes tiles deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+def q89_json_props_rollup(spark, sf_dir):
+    """Semi-structured coverage: extract an integer field from the JSON
+    props column (get_json_object — JVM-side, no Python) and aggregate
+    per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1682,6 +1751,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_trailing_window": q83_trailing_window,
         "q84_group_ols_slope": q84_group_ols_slope,
         "q85_customers_without_orders": q85_customers_without_orders,
+        "q86_pivot_event_matrix": q86_pivot_event_matrix,
+        "q87_unpivot_event_matrix": q87_unpivot_event_matrix,
+        "q88_priority_price_deciles": q88_priority_price_deciles,
+        "q89_json_props_rollup": q89_json_props_rollup,
     }
 
 

@@ -1485,3 +1485,49 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_totalprice > 250000)
 """
+
+# q86: pivot — explicit-vocabulary event-type count matrix.
+ORACLES["q86_pivot_event_matrix"] = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+# q87: unpivot — the q86 matrix melted back to long form.
+ORACLES["q87_unpivot_event_matrix"] = """
+WITH wide AS (
+  SELECT user_id,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+  FROM events GROUP BY user_id)
+SELECT user_id, 'n_click' AS metric, n_click AS n FROM wide
+UNION ALL SELECT user_id, 'n_error', n_error FROM wide
+UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM wide
+UNION ALL SELECT user_id, 'n_signup', n_signup FROM wide
+UNION ALL SELECT user_id, 'n_view', n_view FROM wide
+"""
+
+# q88: per-priority NTILE(10) deciles with unique tiebreak.
+ORACLES["q88_priority_price_deciles"] = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(10) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS INT)
+         AS decile
+FROM orders
+"""
+
+# q89: JSON field extraction + per-type rollup.
+ORACLES["q89_json_props_rollup"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
