@@ -1664,6 +1664,92 @@ def q89_json_props_rollup(spark, sf_dir):
     )
 
 
+def q90_cube_order_stats(spark, sf_dir):
+    """CUBE coverage (the rollup twin, q60): all four grouping sets of
+    (priority, status) in ONE Expand pass — no union of four scans —
+    with grouping_id() disambiguating data-NULLs from subtotal rows."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q91_kmv_distinct_users(spark, sf_dir):
+    """KMV cardinality sketch: per-event-type approximate distinct
+    users. Cross-engine-deterministic approx-distinct (md5-prefix
+    hashes + exact integer estimator) — HLL registers never match
+    across engines; this does, bit-for-bit."""
+    from ocr_text_recognition_spark.operators.stats import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+def q92_resample_ffill(spark, sf_dir):
+    """Calendar resampling: per-user dense daily series with the last
+    observed event value carried forward (date spine + LOCF)."""
+    from ocr_text_recognition_spark.operators.timeseries import (
+        resample_daily_ffill,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_daily_ffill(ev, "user_id", "ts", "value", "event_id")
+
+
+def q93_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join (lineitem⋈orders⋈customer⋈
+    supplier⋈nation⋈region) with the local-supplier predicate
+    c_nationkey = s_nationkey. The join-ordering showcase: dims are
+    broadcast, facts join largest-first, and revenue is summed in exact
+    1e-4-dollar integers so engines agree bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).alias("revenue_e4"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q94_prefix_filter_jaccard(spark, sf_dir):
+    """Exact Jaccard>=0.9 similarity self-join over documents via
+    prefix filtering — no LSH false negatives; the oracle is the
+    brute-force all-shared-token join (a genuinely different
+    algorithm). 0.9 on this templated corpus keeps the prefix short
+    (|prefix| ~ n/10) so the filter actually prunes."""
+    from ocr_text_recognition_spark.operators.dedup import (
+        prefix_filter_jaccard_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_join(docs, "doc_id", "text", threshold_pct=90)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1755,6 +1841,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_unpivot_event_matrix": q87_unpivot_event_matrix,
         "q88_priority_price_deciles": q88_priority_price_deciles,
         "q89_json_props_rollup": q89_json_props_rollup,
+        "q90_cube_order_stats": q90_cube_order_stats,
+        "q91_kmv_distinct_users": q91_kmv_distinct_users,
+        "q92_resample_ffill": q92_resample_ffill,
+        "q93_local_supplier_volume": q93_local_supplier_volume,
+        "q94_prefix_filter_jaccard": q94_prefix_filter_jaccard,
     }
 
 

@@ -17,7 +17,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ocr_text_recognition_spark.operators.textanalysis import fingerprint, shingles, tokens
@@ -379,3 +379,89 @@ def ngram_jaccard_pairs(
         "id_b",
         (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def prefix_filter_jaccard_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_pct: int = 60,
+) -> DataFrame:
+    """Exact all-pairs Jaccard-similarity join via PREFIX FILTERING
+    (PPJoin-family) — the deterministic complement to LSH: no false
+    negatives, no signature tuning, exact (inter, union) out.
+
+    Principle: order every doc's distinct token set by a global total
+    order (ascending document frequency, ties by token — rarest first)
+    and keep only each doc's first ``n - ceil(t*n) + 1`` tokens as its
+    *prefix*. Any pair with Jaccard >= t overlaps in >= ceil(t*n) tokens
+    on each side, which is pigeonhole-impossible unless their prefixes
+    share a token — so joining on prefix tokens alone generates a
+    candidate superset. Because prefixes hold the RAREST tokens, the
+    candidate join's per-key fan-out is bounded by rare-token df, not by
+    stop-word df: this is what makes an exact similarity self-join
+    feasible at corpus scale where a raw token self-join explodes on
+    "the".
+
+    Stages (all JVM-side): distinct (doc, token) explode -> df counts
+    (one combining agg) -> per-doc prefix (row_number window, per-doc
+    partitions) -> prefix equi-self-join -> verify join computing the
+    exact intersection ONLY for candidates. Thresholding is integer:
+    keep pairs with ``100*inter >= threshold_pct*(na+nb-inter)``.
+
+    Returns (doc_a, doc_b, inter, uni) with doc_a < doc_b."""
+    tok = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfc = tok.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    plen = (
+        F.col("n")
+        - F.expr(f"({threshold_pct}L * n + 99L) div 100L")
+        + F.lit(1)
+    )
+    prefix = (
+        tok.join(dfc, "token")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= plen)
+        .select("doc_id", "token")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "token")
+        .join(
+            prefix.select(F.col("doc_id").alias("doc_b"), "token"), "token"
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(tok.select(F.col("doc_id").alias("doc_a"), "token"), "doc_a")
+        .join(
+            tok.select(F.col("doc_id").alias("doc_b"), "token"),
+            ["doc_b", "token"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.lit(100) * F.col("inter") >= F.lit(threshold_pct) * F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("uni").cast("long").alias("uni"),
+        )
+    )

@@ -196,3 +196,57 @@ def group_ols_slope(
             F.round(num * F.lit(1.0) / denom, 6).alias("slope"),
         )
     )
+
+
+KMV_SPACE = 1 << 32  # md5 32-bit-prefix hash space
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group approximate COUNT(DISTINCT value) via a k-minimum-values
+    (KMV) sketch — the cardinality primitive for 10^12-row corpora where
+    an exact distinct would shuffle every distinct value to one reducer
+    per group.
+
+    Unlike HLL (whose register layout differs between engines), KMV is
+    reproducible anywhere: hash each value with the first 8 hex digits
+    of md5 (identical in Spark, DuckDB, Python), keep each group's k
+    smallest distinct hashes, and estimate
+    ``(k-1) * 2^32 div kth_min_hash`` — exact integer arithmetic, so
+    two engines agree bit-for-bit. Groups with < k distinct values
+    report their exact count (the sketch is lossless below k).
+
+    Shuffles: one distinct on (group, hash) — map-side combining and
+    O(distinct) not O(rows) — then a per-group top-k window. At web
+    scale the window's per-group fan-in is bounded by the distinct
+    count; for mega-cardinality groups interpose the two-level salted
+    top-k (``curation.top_k_per_group``): min-k is a semilattice, so
+    per-salt top-k then global top-k is exact."""
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashes = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    topk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+    return (
+        topk.groupBy("grp")
+        .agg(F.count("*").alias("k_used"), F.max("h").alias("kth_min_hash"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("k_used").cast("long").alias("k_used"),
+            F.col("kth_min_hash").cast("long").alias("kth_min_hash"),
+            F.when(F.col("k_used") < k, F.col("k_used"))
+            .otherwise(
+                F.expr(
+                    f"({k - 1}L * {KMV_SPACE}L) div greatest(kth_min_hash, 1L)"
+                )
+            )
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )

@@ -1531,3 +1531,97 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """
+
+# q90: CUBE of (priority, status) with GROUPING id.
+ORACLES["q90_cube_order_stats"] = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+# q91: KMV distinct sketch — identical md5-prefix hash + exact integer
+# estimator on both engines.
+ORACLES["q91_kmv_distinct_users"] = """
+WITH h AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events),
+r AS (SELECT grp, h,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM h)
+SELECT grp AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS k_used,
+       CAST(MAX(h) AS BIGINT) AS kth_min_hash,
+       CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                 ELSE (63 * 4294967296) // GREATEST(MAX(h), 1) END
+            AS BIGINT) AS est_distinct
+FROM r WHERE rn <= 64 GROUP BY grp
+"""
+
+# q92: date spine + last-observation-carried-forward.
+ORACLES["q92_resample_ffill"] = """
+WITH src AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value FROM events),
+last_per_day AS (
+  SELECT user_id, day, value AS v FROM (
+    SELECT user_id, day, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, day
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM src) WHERE rn = 1),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+         FROM src GROUP BY user_id),
+cal AS (SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span)
+SELECT c.user_id, c.day,
+       LAST_VALUE(l.v IGNORE NULLS) OVER (
+         PARTITION BY c.user_id ORDER BY c.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM cal c LEFT JOIN last_per_day l
+  ON c.user_id = l.user_id AND c.day = l.day
+"""
+
+# q93: TPC-H Q5 local-supplier volume, exact integer revenue_e4.
+ORACLES["q93_local_supplier_volume"] = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+# q94: brute-force exact-Jaccard join — the prefix filter's oracle is the
+# quadratic all-shared-token algorithm it exists to avoid.
+ORACLES["q94_prefix_filter_jaccard"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+           t -> t <> ''))) AS token
+  FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+FROM ov
+JOIN sizes sa ON ov.doc_a = sa.doc_id
+JOIN sizes sb ON ov.doc_b = sb.doc_id
+WHERE 100 * inter >= 90 * (sa.n + sb.n - inter)
+"""

@@ -1137,3 +1137,99 @@ def test_group_ols_slope_hand_computed(spark):
     out = {r["g"]: (r["n"], r["slope"]) for r in
            group_ols_slope(df, "g", "x", "y").collect()}
     assert out == {"a": (3, 2.0), "b": (2, -0.5)}
+
+
+def test_kmv_distinct_exact_below_k_and_estimator(spark):
+    from ocr_text_recognition_spark.operators.stats import KMV_SPACE, kmv_distinct
+
+    # Group "small" has 3 distinct values (< k): exact count reported.
+    # Group "big" has 200 distinct: estimator path, hand-recomputed.
+    rows = [("small", v) for v in [1, 2, 3, 2, 1]] + [
+        ("big", v) for v in range(1000, 1200)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = {
+        r["grp"]: r
+        for r in kmv_distinct(df, "grp", "val", k=16).collect()
+    }
+    assert out["small"]["k_used"] == 3
+    assert out["small"]["est_distinct"] == 3
+
+    import hashlib
+
+    hashes = sorted(
+        int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        for v in range(1000, 1200)
+    )
+    kth = hashes[15]
+    assert out["big"]["k_used"] == 16
+    assert out["big"]["kth_min_hash"] == kth
+    assert out["big"]["est_distinct"] == (15 * KMV_SPACE) // kth
+
+
+def test_resample_ffill_gaps_and_same_day_tiebreak(spark):
+    import datetime as dt
+
+    from ocr_text_recognition_spark.operators.timeseries import (
+        resample_daily_ffill,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: events on day 1 and day 4 -> days 2,3 forward-filled
+        (1, t, 10, 10.0),
+        (1, t + dt.timedelta(days=3), 11, 40.0),
+        # user 1, day 1: same timestamp, higher event_id wins
+        (1, t, 12, 99.0),
+        # user 2: single day
+        (2, t + dt.timedelta(days=1), 20, 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {
+        (r["user_id"], str(r["day"])): r["value_ffill"]
+        for r in resample_daily_ffill(
+            df, "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert out[(1, "2024-01-01")] == 99.0  # tiebreak: event_id 12 > 10
+    assert out[(1, "2024-01-02")] == 99.0  # gap filled
+    assert out[(1, "2024-01-03")] == 99.0
+    assert out[(1, "2024-01-04")] == 40.0
+    assert out[(2, "2024-01-02")] == 7.0
+    assert len(out) == 5  # dense per-user calendars, nothing more
+
+
+def test_prefix_filter_jaccard_matches_brute_force(spark):
+    from ocr_text_recognition_spark.operators.dedup import (
+        prefix_filter_jaccard_join,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),  # J(1,2) = 4/6 = 0.667
+        (3, "alpha beta gamma delta epsilon"),  # J(1,3) = 1.0
+        (4, "one two three four five"),  # disjoint from 1-3
+        (5, "one two three four five six"),  # J(4,5) = 5/6 = 0.833
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def brute(threshold_pct):
+        toks = {i: set(t.split()) for i, t in docs}
+        out = set()
+        for a in toks:
+            for b in toks:
+                if a < b:
+                    inter = len(toks[a] & toks[b])
+                    uni = len(toks[a] | toks[b])
+                    if 100 * inter >= threshold_pct * uni:
+                        out.add((a, b, inter, uni))
+        return out
+
+    for t in (60, 80, 100):
+        got = {
+            (r["doc_a"], r["doc_b"], r["inter"], r["uni"])
+            for r in prefix_filter_jaccard_join(
+                df, "doc_id", "text", threshold_pct=t
+            ).collect()
+        }
+        assert got == brute(t), f"threshold {t}"
