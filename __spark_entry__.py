@@ -1750,6 +1750,74 @@ def q94_prefix_filter_jaccard(spark, sf_dir):
     return prefix_filter_jaccard_join(docs, "doc_id", "text", threshold_pct=90)
 
 
+def q95_vocab_encode(spark, sf_dir):
+    """Dictionary-encode the corpus for training: vocabulary ids by
+    (document-frequency DESC, token ASC) assigned with the
+    histogram-offset global rank (stats.global_rank — no single-reducer
+    window over the vocabulary), then every document re-emitted as its
+    ordered comma-joined token-id sequence. The text→ids step every LLM
+    data pipeline runs last."""
+    from ocr_text_recognition_spark.operators.stats import global_rank
+    from ocr_text_recognition_spark.operators.textanalysis import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tokpos = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    )
+    vocab_df = (
+        tokpos.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    vocab = global_rank(
+        vocab_df.withColumn("neg_df", -F.col("df")),
+        "neg_df",
+        "token",
+        16.0,
+        rank_col="token_id",
+    ).select("token", "token_id")
+    return (
+        tokpos.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                ",",
+            ).alias("ids"),
+        )
+    )
+
+
+def q96_grouped_split(spark, sf_dir):
+    """Leakage-safe train/valid/test split: the hash bucket is computed
+    on the GROUP key (source), never the row, so every document of one
+    source lands in the same split — row-level random splits leak
+    near-duplicates across train/test. md5-prefix bucketing is the same
+    portable integer hash as the KMV sketch: deterministic on any
+    engine, stable across reruns, zero shuffle (a narrow map)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1846,6 +1914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_resample_ffill": q92_resample_ffill,
         "q93_local_supplier_volume": q93_local_supplier_volume,
         "q94_prefix_filter_jaccard": q94_prefix_filter_jaccard,
+        "q95_vocab_encode": q95_vocab_encode,
+        "q96_grouped_split": q96_grouped_split,
     }
 
 

@@ -1625,3 +1625,35 @@ JOIN sizes sa ON ov.doc_a = sa.doc_id
 JOIN sizes sb ON ov.doc_b = sb.doc_id
 WHERE 100 * inter >= 90 * (sa.n + sb.n - inter)
 """
+
+# q95: vocabulary ids by (df DESC, token ASC), docs re-encoded as ordered
+# token-id sequences. DuckDB uses a plain global ROW_NUMBER (fine at
+# oracle scale); the Spark side uses the histogram-offset two-phase rank.
+ORACLES["q95_vocab_encode"] = f"""
+WITH t AS ({_toks("SELECT doc_id, text FROM documents")}),
+pos AS (SELECT doc_id, i, toks[i] AS token
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+              FROM t WHERE len(toks) > 0)),
+d AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY token),
+vocab AS (SELECT token,
+                 ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) AS token_id
+          FROM d),
+e AS (SELECT p.doc_id, p.i, v.token_id
+      FROM pos p JOIN vocab v ON p.token = v.token)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY i) AS ids
+FROM e GROUP BY doc_id
+"""
+
+# q96: group-hash split — bucket on md5(source), whole source per split.
+ORACLES["q96_grouped_split"] = """
+SELECT doc_id, source,
+       CAST(CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 100
+            AS INT) AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 100 < 80
+              THEN 'train'
+            WHEN CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 100 < 90
+              THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""

@@ -252,3 +252,25 @@ def test_interval_overlap_join_is_equi_join_not_nested_loop(spark, entry):
     plan = _plan(entry.queries()["q76_interval_overlap"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_star_join_broadcasts_dims(spark, entry):
+    """q93 (TPC-H Q5 shape): nation and region must broadcast, the
+    orderdate filter must push to the orders scan, and no join may fall
+    back to a nested loop."""
+    plan = _plan(entry.queries()["q93_local_supplier_volume"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "isnotnull(o_orderdate" in plan or "o_orderdate" in plan.split(
+        "PushedFilters:", 1
+    )[1][:400]
+
+
+def test_prefix_filter_join_is_equi_join(spark, entry):
+    """q94: every join in the prefix-filter similarity join is an
+    equi-join (token- or id-keyed) — an exact similarity self-join that
+    planned a nested loop would be quadratic at corpus scale."""
+    plan = _plan(entry.queries()["q94_prefix_filter_jaccard"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
