@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "q77_bigram_lm_score",
     "q80_kmeans_step",
     "q82_triangle_counts",
+    "q91_kmv_distinct_users",
+    "q93_local_supplier_volume",
+    "q95_vocab_encode",
 ]
 
 

@@ -409,7 +409,14 @@ def prefix_filter_jaccard_join(
     exact intersection ONLY for candidates. Thresholding is integer:
     keep pairs with ``100*inter >= threshold_pct*(na+nb-inter)``.
 
-    Returns (doc_a, doc_b, inter, uni) with doc_a < doc_b."""
+    Returns (doc_a, doc_b, inter, uni) with doc_a < doc_b.
+
+    Scale caveat: an exact similarity join's OUTPUT is itself quadratic
+    in near-duplicate cluster size — on a corpus that is mostly
+    template clones, no candidate scheme saves you because the true
+    pairs are the cost. Run ``exact_dup_groups`` first and join on
+    cluster representatives; prefix filtering then bounds the residual
+    near-exact work by rare-token df."""
     tok = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
@@ -427,14 +434,26 @@ def prefix_filter_jaccard_join(
         .join(sizes, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= plen)
-        .select("doc_id", "token")
+        .select("doc_id", "token", "n")
     )
+    # Length filter: J >= t forces t*max(na,nb) <= min(na,nb) (inter <=
+    # min, union >= max), so size-mismatched candidates die before the
+    # distinct and the verify join ever see them.
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "token")
+        prefix.select(F.col("doc_id").alias("doc_a"), "token", F.col("n").alias("_na"))
         .join(
-            prefix.select(F.col("doc_id").alias("doc_b"), "token"), "token"
+            prefix.select(
+                F.col("doc_id").alias("doc_b"), "token", F.col("n").alias("_nb")
+            ),
+            "token",
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.lit(100) * F.least("_na", "_nb")
+                >= F.lit(threshold_pct) * F.greatest("_na", "_nb")
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
