@@ -1818,6 +1818,32 @@ def q96_grouped_split(spark, sf_dir):
     )
 
 
+def q97_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams
+    (lag() per user — behavioral modeling / anomaly baselining). Counts
+    are exact integers; the row-normalized probability is one float
+    division of two exact integers, rounded — the q84 determinism
+    pattern."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("next"),
+    )
+    counts = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.groupBy("prev").agg(F.sum("n").alias("row_total"))
+    return counts.join(tot, "prev").select(
+        "prev",
+        "next",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * F.lit(1.0) / F.col("row_total"), 6).alias("p"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1916,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_prefix_filter_jaccard": q94_prefix_filter_jaccard,
         "q95_vocab_encode": q95_vocab_encode,
         "q96_grouped_split": q96_grouped_split,
+        "q97_event_transitions": q97_event_transitions,
     }
 
 

@@ -1657,3 +1657,17 @@ SELECT doc_id, source,
             ELSE 'test' END AS split
 FROM documents
 """
+
+# q97: per-user lag() bigram transition counts + row-normalized p.
+ORACLES["q97_event_transitions"] = """
+WITH s AS (SELECT user_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+c AS (SELECT prev, event_type AS next, COUNT(*) AS n
+      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT prev, SUM(n) AS row_total FROM c GROUP BY prev)
+SELECT c.prev, c.next, CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / row_total, 6) AS p
+FROM c JOIN t ON c.prev = t.prev
+"""
