@@ -1844,6 +1844,137 @@ def q97_event_transitions(spark, sf_dir):
     )
 
 
+def q98_price_decile_profile(spark, sf_dir):
+    """GLOBAL equal-frequency binning (feature binning for training)
+    without a single-reducer sort: histogram-offset global rank (q66
+    machinery) + the closed-form bin ``(rank-1)*k div N`` — unlike
+    NTILE, engine-independent for any N. Output: per-bin count and
+    price bounds."""
+    from ocr_text_recognition_spark.operators.stats import global_rank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_rank(o, "o_totalprice", "o_orderkey", 10000.0)
+    n_total = ranked.groupBy().agg(F.count("*").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "bin",
+            F.expr("((rank - 1L) * 10L div _n)").cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def q99_group_correlation(spark, sf_dir):
+    """Per-group Pearson correlation in exact integer moments (the q84
+    OLS determinism pattern + sqrt): qty and whole-dollar price sums
+    stay BIGINT (< 2^53, so the final double conversion is exact on any
+    engine); the only floats are the closing IEEE-determined products,
+    sqrt, and division."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    s = base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            num * F.lit(1.0) / F.sqrt(vx * F.lit(1.0) * vy), 6
+        ).alias("corr_qty_price"),
+    )
+
+
+def q100_copurchase_pairs(spark, sf_dir):
+    """Market-basket co-occurrence mining: part pairs bought in the same
+    order, with support and exact-integer ppm confidence/lift. The
+    self-join is keyed on the order (per-order fan-out = basket choose
+    2 — baskets are small and bounded; a web-scale run caps basket size
+    first, the same hot-key discipline as the shingle df cap)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    part_n = items.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").alias("_n_orders")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return (
+        pairs.join(
+            part_n.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("n_part").alias("na"),
+            ),
+            "part_a",
+        )
+        .join(
+            part_n.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("n_part").alias("nb"),
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            F.expr("(1000000L * support) div na").alias("conf_a_to_b_ppm"),
+            F.expr("(1000000L * support * _n_orders) div (na * nb)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+def q101_hopping_window_counts(spark, sf_dir):
+    """Batch form of the HOPPING (sliding) window aggregate: 1-hour
+    windows every 30 minutes, each event contributing to exactly two
+    windows via Spark's native F.window(slide) explode. The oracle
+    derives the same two epoch-aligned starts arithmetically — two
+    independent definitions of window alignment."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1943,6 +2074,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_vocab_encode": q95_vocab_encode,
         "q96_grouped_split": q96_grouped_split,
         "q97_event_transitions": q97_event_transitions,
+        "q98_price_decile_profile": q98_price_decile_profile,
+        "q99_group_correlation": q99_group_correlation,
+        "q100_copurchase_pairs": q100_copurchase_pairs,
+        "q101_hopping_window_counts": q101_hopping_window_counts,
     }
 
 

@@ -1671,3 +1671,71 @@ SELECT c.prev, c.next, CAST(n AS BIGINT) AS n,
        ROUND(n * 1.0 / row_total, 6) AS p
 FROM c JOIN t ON c.prev = t.prev
 """
+
+# q98: global equal-frequency deciles via the closed-form bin
+# (rank-1)*10 div N — engine-independent for any N (NTILE's remainder
+# rule is equivalent only when N divides evenly).
+ORACLES["q98_price_decile_profile"] = """
+WITH r AS (SELECT o_totalprice,
+                  ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+                  COUNT(*) OVER () AS n_total
+           FROM orders)
+SELECT CAST(((rnk - 1) * 10) // n_total AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM r GROUP BY 1
+"""
+
+# q99: Pearson correlation from exact BIGINT moments (< 2^53, so the
+# double conversion and the closing IEEE arithmetic agree bit-for-bit).
+ORACLES["q99_group_correlation"] = """
+WITH b AS (SELECT l_returnflag,
+                  CAST(l_quantity AS BIGINT) AS x,
+                  CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+           FROM lineitem),
+s AS (SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM b GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) * 1.0
+             / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6)
+         AS corr_qty_price
+FROM s
+"""
+
+# q100: market-basket pair mining with ppm confidence/lift.
+ORACLES["q100_copurchase_pairs"] = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pn AS (SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY l_partkey),
+no AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+       CAST((1000000 * support) // na.n_part AS BIGINT) AS conf_a_to_b_ppm,
+       CAST((1000000 * support * no.n_orders) // (na.n_part * nb.n_part)
+            AS BIGINT) AS lift_ppm
+FROM p
+JOIN pn na ON p.part_a = na.l_partkey
+JOIN pn nb ON p.part_b = nb.l_partkey
+CROSS JOIN no
+"""
+
+# q101: hopping 1h/30min windows — each event's two epoch-aligned
+# window starts derived arithmetically (vs Spark's native F.window).
+ORACLES["q101_hopping_window_counts"] = """
+WITH e AS (SELECT event_type,
+                  to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 1800)
+                               * 1800) AS s0
+           FROM events),
+x AS (SELECT event_type, s0 AS window_start FROM e
+      UNION ALL
+      SELECT event_type, s0 - INTERVAL 30 MINUTE FROM e)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM x GROUP BY 1, 2
+"""
