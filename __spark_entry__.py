@@ -1975,6 +1975,22 @@ def q101_hopping_window_counts(spark, sf_dir):
     )
 
 
+def q102_bfs_distances(spark, sf_dir):
+    """Bounded multi-source BFS over the q78 synthetic link graph:
+    frontier join + min-combining aggregate per hop, exact integer
+    distances. Oracle = a bounded recursive CTE — a genuinely different
+    evaluation strategy (path enumeration) arriving at the same
+    minima."""
+    from ocr_text_recognition_spark.operators.graph import bfs_distances
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 40).alias("src"),
+        (F.col("o_orderkey") % 37).alias("dst"),
+    )
+    return bfs_distances(edges, [0, 1], max_hops=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2078,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_group_correlation": q99_group_correlation,
         "q100_copurchase_pairs": q100_copurchase_pairs,
         "q101_hopping_window_counts": q101_hopping_window_counts,
+        "q102_bfs_distances": q102_bfs_distances,
     }
 
 

@@ -1739,3 +1739,18 @@ SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM x GROUP BY 1, 2
 """
+
+# q102: bounded BFS via recursive CTE (path enumeration + MIN), vs the
+# Spark frontier-iteration algorithm.
+ORACLES["q102_bfs_distances"] = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT o_custkey % 40 AS src, o_orderkey % 37 AS dst
+  FROM orders),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+walk(node, d) AS (
+  SELECT node, 0 FROM nodes WHERE node IN (0, 1)
+  UNION ALL
+  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON w.node = e.src
+  WHERE w.d < 4)
+SELECT node, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY node
+"""

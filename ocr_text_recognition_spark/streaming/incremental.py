@@ -218,3 +218,35 @@ def enrich_stream(
     ``left`` keeps events whose dimension row is missing (late dim
     arrival), the production-safe default."""
     return stream.join(F.broadcast(dim), key, how)
+
+
+def attribute_conversions(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    click_ts: str = "click_ts",
+    purchase_ts: str = "purchase_ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM event-time interval join (the attribution shape:
+    purchase matches every click by the same user in the preceding
+    ``within``). Both sides are watermarked, and the join condition
+    bounds purchase_ts to [click_ts, click_ts + within] — the
+    time-range predicate is what lets Spark EVICT buffered rows once
+    the watermark passes their match horizon; an unbounded-condition
+    stream-stream join would buffer both streams forever. Inner join:
+    the only mode where both sides' state is provably bounded without
+    waiting for the watermark to close outer rows."""
+    lc = clicks.withWatermark(click_ts, watermark).alias("c")
+    pu = purchases.withWatermark(purchase_ts, watermark).alias("p")
+    cond = F.expr(
+        f"c.{user_col} = p.{user_col} AND "
+        f"p.{purchase_ts} >= c.{click_ts} AND "
+        f"p.{purchase_ts} <= c.{click_ts} + interval {within}"
+    )
+    return lc.join(pu, cond, "inner").select(
+        F.col(f"c.{user_col}").alias(user_col),
+        F.col(f"c.{click_ts}").alias(click_ts),
+        F.col(f"p.{purchase_ts}").alias(purchase_ts),
+    )

@@ -1233,3 +1233,27 @@ def test_prefix_filter_jaccard_matches_brute_force(spark):
             ).collect()
         }
         assert got == brute(t), f"threshold {t}"
+
+
+def test_bfs_distances_hand_computed(spark):
+    from ocr_text_recognition_spark.operators.graph import bfs_distances
+
+    # 0 -> 1 -> 2 -> 3 -> 4 (chain), plus shortcut 0 -> 3, plus an
+    # unreachable island 10 -> 11.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (10, 11)],
+        ["src", "dst"],
+    )
+    out = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, [0], max_hops=3).collect()
+    }
+    # shortcut wins for 3; 4 is reachable via 0->3->4 in 2 hops
+    assert out == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+    # max_hops bound: with 1 hop only direct neighbors appear
+    out1 = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, [0], max_hops=1).collect()
+    }
+    assert out1 == {0: 0, 1: 1, 3: 1}

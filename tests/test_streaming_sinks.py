@@ -549,3 +549,60 @@ def test_enrich_stream_stateless_broadcast_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enriched").collect()
     }
     assert rows == {1: "gold", 2: "basic", 3: None}
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Stream-stream interval join: purchases match only same-user
+    clicks at most 1 hour earlier; both sides watermarked so buffered
+    state is evictable."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from datetime import datetime
+
+    from ocr_text_recognition_spark.streaming.incremental import (
+        attribute_conversions,
+    )
+
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)
+    c_dir, p_dir = tmp_path / "clicks", tmp_path / "purchases"
+    c_dir.mkdir(), p_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "user_id": [1, 1, 2, 3],
+                "click_ts": [t(9, 0), t(9, 50), t(9, 0), t(9, 0)],
+            }
+        ),
+        str(c_dir / "b0.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                # user 1 buys at 10:10 (matches 9:50 click only — the
+                # 9:00 click is >1h earlier); user 2 buys at 11:30 (no
+                # match); user 4 never clicked.
+                "user_id": [1, 2, 4],
+                "purchase_ts": [t(10, 10), t(11, 30), t(9, 30)],
+            }
+        ),
+        str(p_dir / "b0.parquet"),
+    )
+    clicks = spark.readStream.schema("user_id long, click_ts timestamp").parquet(
+        str(c_dir)
+    )
+    purchases = spark.readStream.schema(
+        "user_id long, purchase_ts timestamp"
+    ).parquet(str(p_dir))
+    out = attribute_conversions(clicks, purchases)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["click_ts"], r["purchase_ts"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    assert rows == {(1, t(9, 50), t(10, 10))}
