@@ -1991,6 +1991,52 @@ def q102_bfs_distances(spark, sf_dir):
     return bfs_distances(edges, [0, 1], max_hops=4)
 
 
+def q103_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking over documents by n_chars: each doc
+    pairs with its 3 successors in the global length order — the
+    entity-resolution blocking family LSH and prefix filtering don't
+    cover (keys that drift continuously instead of hashing discretely).
+    Band join on rank div w; oracle = direct rank-difference join."""
+    from ocr_text_recognition_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(docs, "doc_id", "n_chars", window=3)
+
+
+def q104_apply_changelog(spark, sf_dir):
+    """Changelog APPLY (the q81 diff's consumer): rebuild the new
+    snapshot from the old one + the diff + the new crawl's payloads —
+    one anti-join on the standing corpus, one semi-join on the
+    incoming batch. Oracle = the new snapshot built directly, so the
+    invariant apply(old, diff(old,new), new) == new is what the hash
+    compare proves."""
+    from ocr_text_recognition_spark.operators.snapshot import (
+        apply_changelog,
+        snapshot_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    new = (
+        docs.filter(d % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(d % 7 == 1, F.concat("text", F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(d % 13 == 2).select(
+                (d + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    changes = snapshot_diff(docs, new, "doc_id", ["text"])
+    return apply_changelog(docs, changes, new, "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2095,6 +2141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_copurchase_pairs": q100_copurchase_pairs,
         "q101_hopping_window_counts": q101_hopping_window_counts,
         "q102_bfs_distances": q102_bfs_distances,
+        "q103_sorted_neighborhood": q103_sorted_neighborhood,
+        "q104_apply_changelog": q104_apply_changelog,
     }
 
 

@@ -484,3 +484,55 @@ def prefix_filter_jaccard_join(
             F.col("uni").cast("long").alias("uni"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking — the third candidate-generation
+    family next to LSH (hash buckets) and prefix filtering (rare-token
+    joins): sort the corpus by a numeric blocking key and pair each
+    record with its ``window`` successors in that global order.
+    Classical entity-resolution blocking; at corpus scale it finds the
+    near-dups that hash on nothing discrete (lengths, prices,
+    timestamps drift slightly between copies).
+
+    The global sort uses the histogram-offset rank (``stats.global_rank``
+    — no single-reducer window), and neighbors meet through a BAND join,
+    not a range join: ranks bucket by ``rank div window``; the left side
+    emits each row under its own bucket and the next, the right side
+    under its own, so every pair with ``1 <= rank_b - rank_a <= window``
+    meets on exactly one key (bucket(b) is uniquely bucket(a) or
+    bucket(a)+1) — no nested loop, no post-join dedup."""
+    from .stats import global_rank
+
+    ranked = global_rank(
+        df.select(F.col(id_col).alias("rid"), F.col(key_col).alias("k")),
+        "k",
+        "rid",
+        64.0,
+        rank_col="rnk",
+    ).select("rid", "rnk", (F.col("rnk") / window).cast("long").alias("bkt"))
+    left = ranked.select(
+        F.col("rid").alias("doc_a"), F.col("rnk").alias("ra"), "bkt"
+    )
+    left2 = left.withColumn("bkt", F.col("bkt") + 1)
+    right = ranked.select(
+        F.col("rid").alias("doc_b"), F.col("rnk").alias("rb"), "bkt"
+    )
+    return (
+        left.unionByName(left2)
+        .join(right, "bkt")
+        .filter(
+            (F.col("rb") - F.col("ra") >= 1)
+            & (F.col("rb") - F.col("ra") <= window)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("rb") - F.col("ra")).cast("int").alias("gap"),
+        )
+    )

@@ -43,3 +43,23 @@ def snapshot_diff(
     return j.select(id_col, status.alias("status")).filter(
         F.col("status") != "unchanged"
     )
+
+
+def apply_changelog(
+    old: DataFrame,
+    changes: DataFrame,
+    new_payloads: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Rebuild the NEW snapshot from the old one plus a
+    ``snapshot_diff`` changelog — the incremental-recompute consumer:
+    the standing corpus is only touched by one id-keyed anti-join
+    (evicting removed + stale-changed rows), and only the O(|changes|)
+    added/changed payloads are read from the new crawl. Invariant
+    (pinned by the q104 oracle): apply(old, diff(old, new), new) == new,
+    row for row."""
+    touched = changes.select(id_col)
+    upsert_ids = changes.filter(F.col("status") != "removed").select(id_col)
+    kept = old.join(touched, id_col, "left_anti")
+    incoming = new_payloads.join(upsert_ids, id_col, "left_semi")
+    return kept.unionByName(incoming)

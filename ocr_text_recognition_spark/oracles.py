@@ -1754,3 +1754,24 @@ walk(node, d) AS (
   WHERE w.d < 4)
 SELECT node, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY node
 """
+
+# q103: sorted-neighborhood blocking — direct rank-difference join.
+ORACLES["q103_sorted_neighborhood"] = """
+WITH r AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk
+           FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.rnk - a.rnk AS INT) AS gap
+FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3
+"""
+
+# q104: apply(old, diff(old, new), new) == new — the oracle IS the new
+# snapshot built directly (same mutation as q81).
+ORACLES["q104_apply_changelog"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 1 THEN text || ' [rev2]' ELSE text END AS text
+FROM documents WHERE doc_id % 10 <> 0
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text
+FROM documents WHERE doc_id % 13 = 2
+"""

@@ -1257,3 +1257,43 @@ def test_bfs_distances_hand_computed(spark):
         for r in bfs_distances(edges, [0], max_hops=1).collect()
     }
     assert out1 == {0: 0, 1: 1, 3: 1}
+
+
+def test_sorted_neighborhood_pairs_hand_computed(spark):
+    from ocr_text_recognition_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    # keys 10,11,12,50,51 with ids A..E -> rank order A,B,C,D,E
+    df = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 12), (4, 50), (5, 51)], ["doc_id", "k"]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["gap"])
+        for r in sorted_neighborhood_pairs(df, "doc_id", "k", window=2).collect()
+    }
+    # every pair within 2 positions of the global order, exactly once
+    assert got == {
+        (1, 2, 1), (1, 3, 2), (2, 3, 1), (2, 4, 2),
+        (3, 4, 1), (3, 5, 2), (4, 5, 1),
+    }
+
+
+def test_apply_changelog_roundtrip(spark):
+    from ocr_text_recognition_spark.operators.snapshot import (
+        apply_changelog,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], ["doc_id", "text"]
+    )  # 2 changed, 3 removed, 4 added
+    changes = snapshot_diff(old, new, "doc_id", ["text"])
+    rebuilt = {
+        (r["doc_id"], r["text"])
+        for r in apply_changelog(old, changes, new, "doc_id").collect()
+    }
+    assert rebuilt == {(1, "a"), (2, "B2"), (4, "d")}
