@@ -24,7 +24,7 @@ def test_stream_extraction_available_now(spark, small_corpus, tmp_path):
     media = pandas_to_spark(spark, media_pd, "media")
     out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     q = stream_extraction(spark, str(docs_dir), media, out_dir, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "availableNow query did not finish"
     time.sleep(0.5)
 
     result = spark.read.parquet(out_dir)
@@ -121,7 +121,19 @@ def test_stateful_span_assembly_across_microbatches(spark, small_corpus, tmp_pat
     q = (out.writeStream.format("memory").queryName("assembled")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    # applyInPandasWithState + ProcessingTimeTimeout keeps scheduling
+    # timeout batches past the drained input on Spark 4.1, so neither
+    # availableNow termination nor processAllAvailable() ever quiesces:
+    # poll the sink for the expected output, then stop explicitly.
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if spark.sql(
+            "SELECT count(DISTINCT doc_id) FROM assembled"
+        ).collect()[0][0] == len(docs_pd):
+            break
+        time.sleep(2)
+    q.stop()
+    q.awaitTermination(60)
 
     got = {
         r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
@@ -178,7 +190,7 @@ def test_watermark_drops_late_events(spark, tmp_path):
         q = (out.writeStream.format("parquet").option("path", out_dir)
              .option("checkpointLocation", str(tmp_path / "ckpt"))
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(180)
+        assert q.awaitTermination(600), "availableNow query did not finish"
 
     drain()
     # run 2: one on-time event at 13:00 and one LATE event at 07:00
@@ -271,7 +283,21 @@ def test_stateful_orphan_state_expires(spark, tmp_path):
     q = (out.writeStream.format("memory").queryName("orphan_assembled")
          .option("checkpointLocation", str(tmp_path / "orphan_ckpt"))
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    # see test_stateful_span_assembly: timeout batches keep the query
+    # alive forever, so poll for completion instead. "Complete" here =
+    # all 6 input rows consumed (the b3 batch, whose non-emission is the
+    # point, reports its numInputRows only after it COMMITS — so once
+    # the total reaches 6, any phantom orphan row would already be in
+    # the sink) — then stop.
+    import time as _time
+
+    deadline = _time.time() + 240
+    while _time.time() < deadline:
+        if sum(p["numInputRows"] for p in q.recentProgress) >= 6:
+            break
+        _time.sleep(2)
+    q.stop()
+    q.awaitTermination(60)
 
     got = {
         r["doc_id"]: [(s["kind"], s["text"]) for s in r["spans"]]
@@ -327,7 +353,7 @@ def test_stream_dedup_incremental(spark, tmp_path):
         str(tmp_path / "dd_ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "availableNow query did not finish"
 
     # batch-scoped signature dirs exist for both micro-batches; the dup
     # output is batch-scoped too (replay idempotence: a replayed batch
@@ -399,7 +425,7 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
         q = (out.writeStream.format("parquet").option("path", out_dir)
              .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(180)
+        assert q.awaitTermination(600), "availableNow query did not finish"
 
     # run 1: keys 1 (07:00) and 2 (12:00) -> watermark 10:00; key 1's
     # state (expires 07:00+2h=09:00 < watermark) is evicted, key 2's
@@ -495,7 +521,7 @@ def test_session_window_streaming_merges_across_microbatches(spark, tmp_path):
         q = (out.writeStream.format("parquet").option("path", out_dir)
              .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(180)
+        assert q.awaitTermination(600), "availableNow query did not finish"
 
     write("b1.parquet", [(1, t(9, 0), 1.0), (1, t(9, 20), 2.0)])
     drain()
@@ -543,7 +569,7 @@ def test_enrich_stream_stateless_broadcast_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "availableNow query did not finish"
     rows = {
         r["event_id"]: r["tier"]
         for r in spark.sql("SELECT * FROM enriched").collect()
@@ -600,7 +626,7 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "availableNow query did not finish"
     rows = {
         (r["user_id"], r["click_ts"], r["purchase_ts"])
         for r in spark.sql("SELECT * FROM attrib").collect()
