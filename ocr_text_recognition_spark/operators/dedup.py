@@ -224,8 +224,13 @@ def simhash_near_pairs(
     shares at least one identical chunk — so candidates come from a
     chunk-keyed equi-join (never all-pairs) and the exact hamming check
     (bit_count of xor, pure JVM) runs only on candidates. The signature
-    computation feeds both join sides, so it is persisted (at real scale
-    the simhash column is a stored table, like the minhash path)."""
+    computation feeds both join sides, so it is persisted for the
+    duration of THIS call only: the candidate pairs are materialized via
+    localCheckpoint (whose executor blocks are GC-cleaned, unlike
+    plan-keyed DataFrame persists) and the signature cache is released
+    before returning — repeated calls in a long-running session no
+    longer accumulate storage-memory blocks. At real scale the simhash
+    column is a stored table, like the minhash path."""
     sims = simhash16(df, id_col, text_col).persist()
     chunks = sims.select(
         "id",
@@ -250,7 +255,7 @@ def simhash_near_pairs(
     b = chunks.select(
         F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band_id", "chunk"
     )
-    return (
+    pairs = (
         a.join(b, ["band_id", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -260,7 +265,10 @@ def simhash_near_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .localCheckpoint()  # materialize once off the cached signatures
     )
+    sims.unpersist()
+    return pairs
 
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

@@ -28,9 +28,18 @@ def snapshot_diff(
     """(id, status) for every id whose presence or payload hash differs
     between ``old`` and ``new``; status in added / removed / changed."""
     def hashed(df: DataFrame, name: str) -> DataFrame:
+        # concat_ws silently SKIPS NULL columns, so (NULL,'a') and
+        # ('a',NULL) — or NULL vs '' — would hash identically and be
+        # misclassified as unchanged. Coalesce each column to a sentinel
+        # that cannot collide with real text (contains \x00) so NULLs
+        # are distinguishable both from empty strings and by position.
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+            for c in payload_cols
+        ]
         return df.select(
             F.col(id_col),
-            F.md5(F.concat_ws("\x1f", *payload_cols)).alias(name),
+            F.md5(F.concat_ws("\x1f", *parts)).alias(name),
         )
 
     j = hashed(old, "old_h").join(hashed(new, "new_h"), id_col, "full_outer")

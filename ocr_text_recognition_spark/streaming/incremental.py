@@ -104,8 +104,16 @@ def stream_dedup(
             # Spark-side probe of the standing table: works on any
             # filesystem Spark can read (a driver-local os.walk would
             # silently see nothing on HDFS/S3 and skip dedup forever).
+            # Exclude this batch's OWN directory: foreachBatch is
+            # at-least-once, so a replay after a crash between the
+            # signature write and the checkpoint commit would otherwise
+            # see batch_{batch_id}'s signatures from the failed attempt
+            # and join the batch against itself, emitting spurious
+            # self-pairs (new_id == corpus_id, est_jaccard = 1.0).
             try:
-                corpus_sigs = sess.read.parquet(f"{sig_table_dir}/*/")
+                corpus_sigs = sess.read.parquet(f"{sig_table_dir}/*/").where(
+                    ~F.input_file_name().contains(f"/batch_{batch_id}/")
+                )
             except Exception:
                 corpus_sigs = None  # first batch: no table yet
             if corpus_sigs is not None:

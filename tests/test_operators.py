@@ -1092,6 +1092,27 @@ def test_snapshot_diff_statuses(spark):
     assert out == {1: "removed", 3: "changed", 4: "added"}
 
 
+def test_snapshot_diff_null_payloads_distinguishable(spark):
+    """concat_ws silently SKIPS NULLs, so without the coalesce-sentinel a
+    payload differing only in NULL vs '' — or in WHICH column is NULL,
+    (NULL,'a') vs ('a',NULL) — hashed identically and was misreported as
+    unchanged. Pin all three shapes: NULL->'' (changed), column-swap
+    (changed), and NULL->NULL (genuinely unchanged, must stay absent)."""
+    from ocr_text_recognition_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "a"), (2, "a", None), (3, None, "q")],
+        "id long, t string, u string",
+    )
+    new = spark.createDataFrame(
+        [(1, "", "a"), (2, None, "a"), (3, None, "q")],
+        "id long, t string, u string",
+    )
+    out = {r["id"]: r["status"] for r in
+           snapshot_diff(old, new, "id", ["t", "u"]).collect()}
+    assert out == {1: "changed", 2: "changed"}
+
+
 def test_triangle_counts_k4_plus_pendant(spark):
     from ocr_text_recognition_spark.operators.graph import triangle_counts
 

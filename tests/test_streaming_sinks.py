@@ -369,6 +369,69 @@ def test_stream_dedup_incremental(spark, tmp_path):
     assert all(r["new_id"] < 200 for r in dups)
 
 
+def test_stream_dedup_replay_no_self_pairs(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash AFTER the signature write
+    but BEFORE the checkpoint commit replays the same batch_id, and the
+    standing-table scan would then see the failed attempt's own
+    batch_{id} signatures and join the batch against itself. Simulate
+    that exact state (signatures for batch 0 already on disk, checkpoint
+    empty) and pin that the replay emits NO spurious pairs — neither
+    self-pairs (new_id == corpus_id) nor within-batch pairs a clean
+    first run would never produce."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_text_recognition_spark.operators.dedup import minhash_signatures
+    from ocr_text_recognition_spark.streaming.incremental import stream_dedup
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    # two of the five docs are near-copies of each other, so a
+    # self-join of the batch WOULD produce a cross pair (30, 40) on top
+    # of the five identity pairs — both must be absent after the fix.
+    texts = [f"unique replay document {i} with words " * 3 for i in range(4)]
+    texts.append(texts[3] + "tail")
+    rows = list(zip([10, 20, 30, 40, 50], texts))
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()),
+             pa.array([r[1] for r in rows], pa.string())],
+            names=["doc_id", "text"],
+        ),
+        str(in_dir / "b1.parquet"),
+    )
+
+    sig_dir = str(tmp_path / "sig_table")
+    dups_dir = str(tmp_path / "dups_out")
+    # the "failed attempt": batch 0's own signatures are already in the
+    # standing table, but the checkpoint was never committed
+    batch_df = spark.read.schema("doc_id long, text string").parquet(str(in_dir))
+    minhash_signatures(batch_df, "doc_id", "text", num_perm=8).write.parquet(
+        f"{sig_dir}/batch_0"
+    )
+
+    spark.conf.set("spark.sql.streaming.fileSource.schema.forceNullable", "true")
+    q = stream_dedup(
+        spark,
+        str(in_dir),
+        sig_dir,
+        dups_dir,
+        str(tmp_path / "dd_ckpt"),  # fresh checkpoint -> replays as batch 0
+    )
+    assert q.awaitTermination(600), "availableNow query did not finish"
+
+    out_dirs = [d for d in os.listdir(dups_dir) if d.startswith("batch_")]
+    if out_dirs:  # dir may exist (empty write) — rows must not
+        assert spark.read.parquet(f"{dups_dir}/*/").count() == 0
+    # the replay rewrote its batch-scoped signature dir in place
+    assert sorted(d for d in os.listdir(sig_dir) if d.startswith("batch_")) == [
+        "batch_0"
+    ]
+    assert spark.read.parquet(f"{sig_dir}/batch_0").count() == 5
+
+
 def test_write_corpus_bounds_file_sizes(spark, tmp_path):
     """maxRecordsPerFile must actually split fat partitions: 1000 rows in
     ONE partition with a 100-record cap -> >= 10 part files, none larger
