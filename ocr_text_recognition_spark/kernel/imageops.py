@@ -175,11 +175,17 @@ def median3(mask: np.ndarray) -> np.ndarray:
 
     Kills isolated salt noise exactly like the reference's medianBlur stage.
     """
+    # separable box sum (rows then cols): 6 passes instead of 9, exact —
+    # integer addition is associative, so the 3x3 neighborhood sum is
+    # identical to the unseparated form
+    h, w = mask.shape
     padded = np.pad(mask, 1, mode="constant", constant_values=0)
-    acc = np.zeros(mask.shape, dtype=np.int16)
-    for dy in (0, 1, 2):
-        for dx in (0, 1, 2):
-            acc += padded[dy : dy + mask.shape[0], dx : dx + mask.shape[1]]
+    vert = padded[0 : h, :].astype(np.int16)
+    vert += padded[1 : h + 1, :]
+    vert += padded[2 : h + 2, :]
+    acc = vert[:, 0:w].copy()
+    acc += vert[:, 1 : w + 1]
+    acc += vert[:, 2 : w + 2]
     return (acc >= 5).astype(np.uint8)
 
 
@@ -234,12 +240,25 @@ def estimate_shear_slope_milli(mask: np.ndarray) -> int:
     ys, xs = np.nonzero(mask)
     if len(ys) == 0:
         return 0
+    # The un-shear shift round(y * slope) depends only on the ROW, so it is
+    # computed once per row (h values) and gathered, instead of a per-ink-
+    # pixel float64 multiply+round; int32 throughout halves the bytes per
+    # pass. ~21 _score calls per image make this the kernel's biggest
+    # memory-traffic source, which is what limits packed-worker scaling.
+    # Bit-identical to the per-pixel form: round() sees the same float64
+    # value either way, and the integer sum of squares is exact (< 2^53),
+    # so float64 accumulation matched it exactly too.
+    xs32 = xs.astype(np.int32)
+    ys32 = ys.astype(np.int32)
+    rows = np.arange(mask.shape[0], dtype=np.float64)
+    xp = np.empty(len(xs32), dtype=np.int32)
 
     def _score(sm: int) -> float:
-        xp = xs - np.round(ys * (sm / 1000.0)).astype(np.int64)
-        xp -= xp.min()
+        shift = np.round(rows * (sm / 1000.0)).astype(np.int32)
+        np.subtract(xs32, shift[ys32], out=xp)
+        np.subtract(xp, xp.min(), out=xp)
         counts = np.bincount(xp)
-        return float((counts.astype(np.float64) ** 2).sum())
+        return float(np.dot(counts, counts))
 
     # Two-stage search: coarse step-15 sweep, then step-5 refinement ±10
     # around the coarse peak — ~21 projections instead of 49 for the same
