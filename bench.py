@@ -52,8 +52,28 @@ BENCH_QUERIES = [
     "q82_triangle_counts",
     "q91_kmv_distinct_users",
     "q93_local_supplier_volume",
+    "q94_prefix_filter_jaccard",
     "q95_vocab_encode",
 ]
+
+# Why these 31 of the 104 registered queries: one representative per
+# operator family (scan/agg/join/window/dedup/ANN/curation/graph/stats/
+# streaming-batch-twin), weighted toward the most shuffle- or
+# compute-expensive member of each family so regressions surface. The
+# other 73 are structural variants of a benched family member (same plan
+# shape, different predicate/column) — none is excluded for being slow.
+# q94 runs at its registered threshold (0.9, ~9k pairs at sf0.01); the
+# 0.6-threshold variant of the same operator is OUTPUT-bound on the
+# synthetic corpus (~60% of docs are near-dups -> ~1M result pairs at
+# sf0.1, ~43s of result materialization, not join cost) and is therefore
+# not a meaningful throughput probe — that exclusion is this note.
+BENCH_NOTES = (
+    "31/104 queries benched: one per operator family, most-expensive "
+    "member preferred; remaining 73 share a benched plan shape. q94 "
+    "benched at threshold 0.9; its 0.6 variant is output-bound on the "
+    "synthetic corpus (~1M pairs at sf0.1) and excluded as a throughput "
+    "probe."
+)
 
 
 def force(df) -> None:
@@ -183,6 +203,7 @@ def main() -> None:
                     "span_match_rate": span_match_rate,
                 },
                 "scaling": scaling,
+                "notes": BENCH_NOTES,
                 "cpus": CPUS,
             }
         )

@@ -127,6 +127,7 @@ def run_extraction(
     persist_media_locators: bool = True,
     input_partitions: int | None = None,
     preprocess_kwargs: dict | None = None,
+    kernel_parallelism: int | None = None,
 ) -> DataFrame:
     """Full pipeline: documents + media -> extracted documents.
 
@@ -147,6 +148,12 @@ def run_extraction(
     ``preprocess_kwargs``: kernel preprocessing overrides shipped into the
     media UDF (e.g. {'binarizer': 'adaptive', 'rotate_portrait': True}
     for photographed/scanned corpora); None keeps the default Otsu chain.
+
+    ``kernel_parallelism``: partition count for the kernel-UDF stage
+    (default 2x defaultParallelism). Per-image kernel cost varies ~4x
+    with image size, so finer partitions trade a little per-task overhead
+    against straggler tail; raise toward 4x cores when the corpus mixes
+    very small and very large images.
     """
     if input_partitions:
         docs = docs.repartition(input_partitions, "doc_id")
@@ -169,7 +176,7 @@ def run_extraction(
     )
     if persist_media_locators:
         spans_ref = spans_ref.persist()
-    parallelism = spark.sparkContext.defaultParallelism * 2
+    parallelism = kernel_parallelism or spark.sparkContext.defaultParallelism * 2
     distinct_refs = spans_ref.select("kind", "media_ref").distinct()
     # Repartition the payloads (post-join, pre-UDF): partitions must be
     # sized by kernel COMPUTE, not bytes, or AQE coalesces the UDF stage.

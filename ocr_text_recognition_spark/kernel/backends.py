@@ -220,6 +220,36 @@ def _try_tesseract_cell() -> Recognizer | None:
     return run
 
 
+def derotate_bytes_for_external(data: bytes) -> bytes:
+    """Rotation-deskew an image payload before handing it to an EXTERNAL
+    engine — the reference preprocesses (minAreaRect angle + warpAffine,
+    table_ocr_service.py:73-110) BEFORE invoking Tesseract/EasyOCR, so
+    real-scan deployments get the rotation model by default here, while
+    the builtin kernel keeps its exactly-invertible shear default (the
+    fixture-exact path; see kernel/imageops.py). Estimation runs on the
+    binarized mask; the correction is applied to the GRAYSCALE image
+    (fill = median background level, the warpAffine borderValue analog)
+    and re-encoded in the same container format, so the engine sees a
+    straightened page, not a binary mask. Sub-dead-band angles (the
+    reference's 0.5 deg gate) return the payload unchanged."""
+    import numpy as np
+
+    from ocr_text_recognition_spark.kernel import imageops
+    from ocr_text_recognition_spark.kernel.imgcodec import decode_image, encode_image
+
+    try:
+        img = decode_image(bytes(data))
+    except Exception:
+        return bytes(data)  # not ours to decode: pass through untouched
+    gray = imageops.to_grayscale(img)
+    mask = imageops.otsu_binarize(imageops.gaussian_blur(gray))
+    r = imageops.estimate_rotation_millideg(mask)
+    if abs(r) <= imageops.ROTATION_DEAD_BAND_MILLIDEG:
+        return bytes(data)
+    bg = int(np.median(gray))
+    return encode_image(imageops.rotate_mask(gray, -r, fill=bg))
+
+
 def tokens_from_bytes(data: bytes | None) -> list[dict] | None:
     """Token boxes for an image payload, or None when no token-box engine
     is installed (callers then use the builtin kernel's own segmentation).
@@ -230,15 +260,18 @@ def tokens_from_bytes(data: bytes | None) -> list[dict] | None:
     adding the doc key. Probes are memoized once per process."""
     if not data:
         return []
-    for name, factory in (
+    fixed: bytes | None = None  # rotation-deskewed lazily, once, only if
+    for name, factory in (  # an external engine is actually present
         ("tesseract_tokens", _try_tesseract_tokens),
         ("easyocr_tokens", _try_easyocr_tokens),
     ):
         fn = _probe_once(name, factory)
         if fn is None:
             continue
+        if fixed is None:
+            fixed = derotate_bytes_for_external(bytes(data))
         try:
-            return fn(bytes(data))
+            return fn(fixed)
         except Exception:
             continue
     return None
@@ -280,9 +313,14 @@ def recognize_with_fallback(data: bytes | None) -> tuple[str, str]:
     (the reference's try/except chain). Returns (text, engine_used)."""
     if not data:
         return "", "none"
-    for name, fn in engine_chain():
+    fixed: bytes | None = None  # rotation-deskewed lazily, external only:
+    for name, fn in engine_chain():  # builtin keeps the fixture-exact bytes
         try:
-            return fn(bytes(data)), name
+            if name == "builtin":
+                return fn(bytes(data)), name
+            if fixed is None:
+                fixed = derotate_bytes_for_external(bytes(data))
+            return fn(fixed), name
         except Exception:
             continue
     return "", "none"

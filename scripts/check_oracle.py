@@ -3,11 +3,19 @@ entry on Spark and its oracle_sql() twin on DuckDB at sf0.01; compare row
 count, column names, and an order-insensitive value hash.
 
 Usage: python scripts/check_oracle.py [query_name ...]
+
+With no query-name args (the full sweep), also writes the machine-readable
+result — per-query rows/schema/hash verdicts + seconds — to
+ORACLE_SWEEP.json at the repo root, the committed artifact that extends
+the driver's CORRECTNESS_r{N}.json (which snapshots only the first ~50
+registered queries) to all of them.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 import time
 
@@ -55,6 +63,7 @@ def main(names: list[str]) -> int:
 
     targets = names or list(qs)
     failures = []
+    report = {}
     for name in targets:
         t0 = time.time()
         try:
@@ -63,11 +72,16 @@ def main(names: list[str]) -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            report[name] = {"pass": False, "err": f"spark error: {str(e)[:300]}"}
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             continue
         if name not in oracles:
             print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
-            if len(srows) == 0:
+            ok = len(srows) > 0
+            report[name] = {"pass": ok, "mode": "rows_only",
+                            "spark_rows": len(srows),
+                            "sec": round(time.time() - t0, 2)}
+            if not ok:
                 failures.append(name)
                 print(f"FAIL  {name}: 0 rows from rows-only query")
             continue
@@ -77,6 +91,7 @@ def main(names: list[str]) -> int:
             orows = rel.fetchall()
         except Exception as e:
             failures.append(name)
+            report[name] = {"pass": False, "err": f"duckdb error: {str(e)[:300]}"}
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             continue
         problems = []
@@ -91,12 +106,31 @@ def main(names: list[str]) -> int:
             so = list(sset - oset)[:2]
             os_ = list(oset - sset)[:2]
             problems.append(f"spark-only={so} oracle-only={os_}")
+        report[name] = {
+            "pass": not problems,
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(scols) == sorted(ocols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "sec": round(time.time() - t0, 2),
+        }
         if problems:
             failures.append(name)
+            report[name]["err"] = "; ".join(problems)
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"OK    {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
     print(f"\n{len(targets) - len(failures)}/{len(targets)} passed")
+    if not names:  # full sweep: persist the committed artifact
+        out_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "ORACLE_SWEEP.json")
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "generated_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "passed": len(targets) - len(failures),
+                "total": len(targets), "queries": report}, f, indent=1)
+        print(f"wrote {out_path}")
     return 1 if failures else 0
 
 

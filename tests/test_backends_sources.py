@@ -256,3 +256,61 @@ def test_read_documents_jsonl_gz_with_poison_lines(spark, tmp_path):
     f2 = read_documents_jsonl(spark, str(flat), interleaved=False)
     assert {(r["doc_id"], r["text"]) for r in
             f2.filter(F.col("_corrupt_record").isNull()).collect()} == {(1, "abc"), (2, "def")}
+
+
+def test_rotation_deskew_default_for_external_engines(monkeypatch):
+    """Real-image deployments default to the ROTATION deskew model on the
+    external-engine path (the reference preprocesses with minAreaRect +
+    warpAffine BEFORE invoking the OCR engine, table_ocr_service.py:73-110):
+    a genuinely rotated render reaching the fallback chain must arrive at
+    the engine straightened. The fake tesseract runs the builtin kernel on
+    exactly the bytes it receives, so the assertion is end-to-end through
+    recognize_with_fallback: chain(rotated) == kernel(straight). The
+    builtin terminal fallback keeps the original (shear-model,
+    fixture-exact) bytes — pinned by the no-engine branch."""
+    import sys
+    import types
+
+    from ocr_text_recognition_spark.kernel import imageops, reference_kernel, render
+    from ocr_text_recognition_spark.kernel.imgcodec import decode_image, encode_image
+
+    lines = ["HELLO SPARK ENGINE", "SECOND LINE OF TEXT", "THIRD LINE HERE"]
+    straight = render.render_text_image(lines)
+    expected = reference_kernel.recognize_media_bytes(encode_image(straight))
+    assert expected == "\n".join(lines)  # sanity: clean render decodes
+
+    rotated = imageops.rotate_mask(straight, 2500, fill=render.BG)  # 2.5 deg
+    rotated_bytes = encode_image(rotated)
+
+    received: list[bytes] = []
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda fp: fp.read()
+    fake_pil.Image = fake_image_mod
+    fake_tess = types.ModuleType("pytesseract")
+    fake_tess.get_languages = lambda config="": []
+
+    def image_to_string(img_bytes, config="", **kw):
+        received.append(img_bytes)
+        return reference_kernel.recognize_media_bytes(img_bytes)
+
+    fake_tess.image_to_string = image_to_string
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    monkeypatch.setitem(sys.modules, "pytesseract", fake_tess)
+
+    out, engine = backends.recognize_with_fallback(rotated_bytes)
+    assert engine == "tesseract"
+    assert out == expected
+    # the engine saw a STRAIGHTENED page: residual rotation under dead-band
+    from ocr_text_recognition_spark.kernel.imageops import (
+        ROTATION_DEAD_BAND_MILLIDEG,
+        estimate_rotation_millideg,
+        gaussian_blur,
+        otsu_binarize,
+    )
+
+    seen_mask = otsu_binarize(gaussian_blur(decode_image(received[0])))
+    assert abs(estimate_rotation_millideg(seen_mask)) <= ROTATION_DEAD_BAND_MILLIDEG
+    # non-IMG1 payloads pass through to the engine untouched
+    assert backends.derotate_bytes_for_external(b"not an image") == b"not an image"
