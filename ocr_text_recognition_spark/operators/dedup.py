@@ -419,17 +419,47 @@ def prefix_filter_jaccard_join(
 
     Returns (doc_a, doc_b, inter, uni) with doc_a < doc_b.
 
+    Identical TOKEN SETS are collapsed to one representative before the
+    join and the result pairs expanded back afterwards (set-clone pairs
+    are emitted directly with inter == uni — Jaccard 1 passes any
+    threshold). On clone-heavy corpora — the stated target domain — this
+    shrinks both the candidate join and the verify stage by the clone
+    factor squared while producing the identical pair set (pinned
+    against the uncollapsed brute force in tests).
+
+    Verify-stage note: an array_intersect-based verify (join candidates
+    to per-doc token arrays, one row per candidate) was tried and
+    MEASURED SLOWER (48s vs 30s steady-state on the sf0.1 corpus, 3.7M
+    candidates) than this explode-equi-join + count form: per-row array
+    set-intersection falls out of whole-stage codegen's vectorized hash
+    join path. Keep the join form.
+
     Scale caveat: an exact similarity join's OUTPUT is itself quadratic
     in near-duplicate cluster size — on a corpus that is mostly
     template clones, no candidate scheme saves you because the true
-    pairs are the cost. Run ``exact_dup_groups`` first and join on
-    cluster representatives; prefix filtering then bounds the residual
-    near-exact work by rare-token df."""
-    tok = docs.select(
+    pairs are the cost (the sf0.1 synthetic corpus truly contains ~965k
+    pairs at threshold 0.9; measured, see BENCH notes)."""
+    tok_all = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
     )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes_all = tok_all.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Collapse identical token sets: one combining agg builds a per-doc
+    # set fingerprint; each set's min doc_id becomes the representative.
+    mem = (
+        tok_all.groupBy("doc_id")
+        .agg(
+            F.sha2(
+                F.concat_ws("\x1f", F.sort_array(F.collect_set("token"))), 256
+            ).alias("seth")
+        )
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("seth")))
+        .select("doc_id", "rep")
+    )
+    tok = tok_all.join(
+        mem.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
+    )
+    sizes = sizes_all.join(tok.select("doc_id").distinct(), "doc_id")
     dfc = tok.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
     plen = (
@@ -474,7 +504,7 @@ def prefix_filter_jaccard_join(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    rep_pairs = (
         inter.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
             "doc_a",
@@ -485,12 +515,42 @@ def prefix_filter_jaccard_join(
         )
         .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
         .filter(F.lit(100) * F.col("inter") >= F.lit(threshold_pct) * F.col("uni"))
-        .select(
+        .select("doc_a", "doc_b", "inter", "uni")
+    )
+    # Expand representative pairs to member pairs (every member of set A
+    # pairs with every member of set B at the same inter/uni), and emit
+    # the within-set clone pairs directly: identical sets have
+    # inter == uni == n, Jaccard 1, which passes any threshold.
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("da")),
             "doc_a",
-            "doc_b",
-            F.col("inter").cast("long").alias("inter"),
-            F.col("uni").cast("long").alias("uni"),
         )
+        .join(
+            mem.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("db")),
+            "doc_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "inter",
+            "uni",
+        )
+    )
+    within = (
+        mem.select("rep", F.col("doc_id").alias("doc_a"))
+        .join(mem.select("rep", F.col("doc_id").alias("doc_b")), "rep")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(
+            sizes_all.select(F.col("doc_id").alias("doc_a"), "n"), "doc_a"
+        )
+        .select("doc_a", "doc_b", F.col("n").alias("inter"), F.col("n").alias("uni"))
+    )
+    return cross.unionByName(within).select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
     )
 
 
