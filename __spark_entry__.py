@@ -2037,6 +2037,41 @@ def q104_apply_changelog(spark, sf_dir):
     return apply_changelog(docs, changes, new, "doc_id")
 
 
+def q105_bm25_topk(spark, sf_dir):
+    """BM25 top-15 retrieval over documents (operators/index.py): the
+    (doc, token) explode is filtered to the query terms before any agg
+    (posting-probe cost shape), corpus scalars ride the 1-row broadcast
+    crossJoin idiom, ranking orders by the ROUNDED score so float ulp
+    drift can't reorder the top-k boundary across engines."""
+    from ocr_text_recognition_spark.operators.index import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, ["join", "merge", "slow"], "doc_id", "text", k=15
+    )
+
+
+def q106_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training data
+    (operators/similarity.py): per query vector, the top-3 most
+    cosine-similar corpus vectors with a DIFFERENT label — label
+    mismatch applied before the per-query window rank."""
+    from ocr_text_recognition_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = hard_negative_topk(emb.filter(F.col("vec_id") >= 3), queries_df, k=3)
+    return out.select(
+        "query_id", "vec_id", "label", F.round("cos", 6).alias("cos_r"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2143,6 +2178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_bfs_distances": q102_bfs_distances,
         "q103_sorted_neighborhood": q103_sorted_neighborhood,
         "q104_apply_changelog": q104_apply_changelog,
+        "q105_bm25_topk": q105_bm25_topk,
+        "q106_hard_negatives": q106_hard_negatives,
     }
 
 

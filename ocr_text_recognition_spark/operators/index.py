@@ -67,3 +67,88 @@ def inverted_index(
     if max_df is not None:
         out = out.filter(F.col("df") <= F.lit(max_df))
     return out.select("token", F.col("df").cast("long").alias("df"), "postings")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_tokens: list[str],
+    id_col: str,
+    text_col: str,
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k retrieval over a document table — the ranked-search
+    primitive next to ``inverted_index`` (same tokenizer), and the
+    retrieval half of retrieval-based curation (dedup against a seed
+    set, eval-set decontamination by lexical match, RAG corpus probes).
+
+    Pure DataFrame ops, shaped for 100 TB:
+
+    - the (doc, token) explode is FILTERED to the query's tokens before
+      any aggregation, so per-query work scales with posting-list sizes
+      (like a real index probe), not corpus token count; only the
+      doc-length table ``dl`` scans everything, and that aggregate is
+      map-side combined on the doc key;
+    - corpus scalars (N, avgdl) ride the established 1-row broadcast
+      crossJoin idiom — never a driver collect;
+    - idf is the Robertson/Sparck-Jones ln(1 + (N - df + .5)/(df + .5))
+      form (always positive, no stop-word negative scores);
+    - final ranking orders by the ROUNDED score (4 dp) with doc_id
+      tiebreak, so cross-engine float ulp drift cannot reorder the
+      top-k boundary; global top-k compiles to TakeOrderedAndProject.
+    """
+    toks = [t.lower() for t in query_tokens]
+    tok = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    qtok = tok.filter(F.col("token").isin(toks))
+    tf = qtok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfc = (
+        qtok.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    scalars = F.broadcast(
+        dl.agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl") / F.count("*")).alias("avgdl"),
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfc), "token")
+        .crossJoin(scalars)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -351,3 +351,48 @@ def kmeans_lloyd_step(
     )
     members = embeddings.join(assign, id_col).select("cluster", vec_col)
     return group_centroids(members, "cluster", vec_col)
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """For every query vector, the k most cosine-similar corpus vectors
+    with a DIFFERENT label — hard-negative mining for contrastive /
+    embedding training data (the highest-similarity wrong-label
+    examples are the informative negatives).
+
+    Same shape as ``brute_force_topk`` (queries broadcast, corpus side
+    streams, per-query window top-k), with the label-mismatch predicate
+    applied BEFORE ranking so same-label rows never enter the window.
+    For corpora past brute-force reach, feed the candidate set from
+    ``ivf_topk``/``lsh_topk`` with an over-fetched k and apply the same
+    label filter + re-rank."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("q_vec"),
+            F.col(label_col).alias("q_label"),
+        )
+    )
+    scored = (
+        embeddings.crossJoin(q)
+        .filter(F.col(label_col) != F.col("q_label"))
+        .select(
+            query_id_col,
+            id_col,
+            F.col(label_col),
+            cosine(F.col(vec_col), F.col("q_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, label_col, "cos", "rank")
+    )

@@ -1779,3 +1779,47 @@ UNION ALL
 SELECT doc_id + 100000 AS doc_id, text
 FROM documents WHERE doc_id % 13 = 2
 """
+
+# q105: BM25 top-15. Mirrors operators/index.bm25_topk exactly: same
+# whitespace tokenizer as q73, tf WITHOUT distinct, dl over all tokens,
+# RSJ idf ln(1 + (N - df + .5)/(df + .5)), k1=1.2 b=0.75, and the final
+# order is on the ROUNDED score (4 dp) + doc_id so an engine-side float
+# ulp can never reorder the top-k boundary.
+ORACLES["q105_bm25_topk"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+           t -> t <> '')) AS token
+  FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+qtok AS (SELECT * FROM tok WHERE token IN ('join', 'merge', 'slow')),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qtok GROUP BY doc_id, token),
+dfc AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM qtok GROUP BY token),
+s AS (SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+           AS term_score
+  FROM tf JOIN dl USING (doc_id) JOIN dfc USING (token) CROSS JOIN s)
+SELECT doc_id, ROUND(SUM(term_score), 4) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+"""
+
+# q106: hard negatives — q20's brute-force cosine top-k with a
+# label-mismatch predicate applied before the per-query rank.
+ORACLES["q106_hard_negatives"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qv, label AS q_label FROM e WHERE vec_id < 3),
+c AS (SELECT vec_id, emb, label FROM e WHERE vec_id >= 3),
+s AS (SELECT q.query_id, c.vec_id, c.label,
+             list_inner_product(c.emb, q.qv)
+               / (sqrt(list_inner_product(c.emb, c.emb)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+      FROM c CROSS JOIN q WHERE c.label <> q.q_label),
+r AS (SELECT query_id, vec_id, label, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+      FROM s)
+SELECT query_id, vec_id, label, ROUND(cos, 6) AS cos_r, rank FROM r WHERE rank <= 3
+"""

@@ -1318,3 +1318,56 @@ def test_apply_changelog_roundtrip(spark):
         for r in apply_changelog(old, changes, new, "doc_id").collect()
     }
     assert rebuilt == {(1, "a"), (2, "B2"), (4, "d")}
+
+
+def test_bm25_topk_hand_scores(spark):
+    """BM25 against hand-computed scores on a 4-doc corpus (N=4,
+    avgdl=3, both query terms df=2 -> idf=ln 2 exactly)."""
+    import math
+
+    from ocr_text_recognition_spark.operators.index import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "banana banana banana banana"),
+            (4, "cherry date date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in
+           bm25_topk(docs, ["apple", "banana"], "doc_id", "text", k=3).collect()}
+
+    def term(tf, dl):
+        return math.log(2.0) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+
+    want = {
+        1: round(term(2, 3) + term(1, 3), 4),    # apple x2 + banana x1
+        2: round(term(1, 2), 4),                  # apple x1, short doc
+        3: round(term(4, 4), 4),                  # banana x4, long doc
+    }
+    assert out == want
+    # doc 4 matches no term and must be absent even with k=3 slots free
+    assert 4 not in out
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    from ocr_text_recognition_spark.operators.similarity import hard_negative_topk
+
+    emb = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 0),   # same label as the query: never emitted
+            (11, [0.9, 0.1], 1),
+            (12, [0.0, 1.0], 1),
+            (13, [1.0, 0.0], 2),   # identical direction, different label
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)], "query_id long, embedding array<double>, label int"
+    )
+    rows = hard_negative_topk(emb, q, k=2).collect()
+    got = [(r["vec_id"], r["rank"]) for r in rows]
+    assert got == [(13, 1), (11, 2)]  # cos 1.0, then ~0.9939; 10 excluded
+    assert all(r["label"] != 0 for r in rows)
