@@ -2072,6 +2072,18 @@ def q106_hard_negatives(spark, sf_dir):
     )
 
 
+def q107_substring_dups(spark, sf_dir):
+    """Exact substring duplication at 32-token granularity
+    (operators/dedup.py substring_dup_pairs — the Lee et al. 2022
+    dedup unit): rolling-window hashes built JVM-side in one transform,
+    distinct per (doc, hash), df-capped (window df <= 100) before the
+    hash-keyed self-join — never all-pairs."""
+    from ocr_text_recognition_spark.operators.dedup import substring_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dup_pairs(docs, "doc_id", "text", window=32, max_window_df=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2180,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_apply_changelog": q104_apply_changelog,
         "q105_bm25_topk": q105_bm25_topk,
         "q106_hard_negatives": q106_hard_negatives,
+        "q107_substring_dups": q107_substring_dups,
     }
 
 

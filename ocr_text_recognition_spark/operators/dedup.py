@@ -604,3 +604,59 @@ def sorted_neighborhood_pairs(
             (F.col("rb") - F.col("ra")).cast("int").alias("gap"),
         )
     )
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    max_window_df: int = 100,
+) -> DataFrame:
+    """EXACT SUBSTRING duplication (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" granularity): two
+    documents are substring-duplicates when they share a verbatim run of
+    ``window`` consecutive tokens — catching quote-level and
+    boilerplate-level copying that document-level Jaccard/MinHash misses
+    entirely (a 10k-token page containing one lifted paragraph has
+    near-zero document similarity).
+
+    Spark shape: per doc, hash every ``window``-token rolling window
+    (one ``transform`` over a ``sequence`` — JVM-side, no explode until
+    the hashes exist), distinct per (doc, hash), then a hash-keyed
+    equi-self-join. ``max_window_df`` drops windows present in more than
+    that many documents BEFORE the join — the licence-blurb/navigation-
+    chrome guard; without it one site-wide footer makes the join
+    quadratic in corpus size (same hot-key rationale as
+    ``max_shingle_df``). Returns (doc_a, doc_b, n_shared_windows),
+    doc_a < doc_b; at removal time the window hashes themselves (not
+    emitted here) locate the span to cut."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    ).filter(F.size("toks") >= window)
+    wins = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - F.lit(window - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, window))
+                    ),
+                )
+            ).alias("wh"),
+        )
+        .distinct()
+    )
+    wdf = wins.groupBy("wh").agg(F.count("*").alias("wdf"))
+    keep = wins.join(wdf.filter(F.col("wdf") <= max_window_df), "wh").select(
+        "doc_id", "wh"
+    )
+    return (
+        keep.select(F.col("doc_id").alias("doc_a"), "wh")
+        .join(keep.select(F.col("doc_id").alias("doc_b"), "wh"), "wh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_windows"))
+    )

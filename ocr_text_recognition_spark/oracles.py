@@ -1823,3 +1823,26 @@ r AS (SELECT query_id, vec_id, label, cos,
       FROM s)
 SELECT query_id, vec_id, label, ROUND(cos, 6) AS cos_r, rank FROM r WHERE rank <= 3
 """
+
+# q107: exact substring duplication — same whitespace tokenizer, 32-token
+# rolling windows hashed with md5 over the space-joined slice (DuckDB list
+# slicing toks[i : i+31] is 1-based INCLUSIVE = 32 elements, mirroring
+# Spark's slice(toks, i, 32)), distinct per (doc, hash), window-df cap
+# 100 before the self-join.
+ORACLES["q107_substring_dups"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+           t -> t <> '') AS toks
+  FROM documents),
+t2 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 32),
+w AS (SELECT DISTINCT doc_id, md5(array_to_string(toks[i : i + 31], ' ')) AS wh
+      FROM t2, unnest(generate_series(1, n - 31)) AS g(i)),
+keepw AS (SELECT wh FROM (SELECT wh, COUNT(*) AS c FROM w GROUP BY wh) WHERE c <= 100),
+ww AS (SELECT w.doc_id, w.wh FROM w JOIN keepw USING (wh))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+FROM ww a JOIN ww b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""

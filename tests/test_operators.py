@@ -1371,3 +1371,31 @@ def test_hard_negative_topk_excludes_same_label(spark):
     got = [(r["vec_id"], r["rank"]) for r in rows]
     assert got == [(13, 1), (11, 2)]  # cos 1.0, then ~0.9939; 10 excluded
     assert all(r["label"] != 0 for r in rows)
+
+
+def test_substring_dup_pairs_window_and_cap(spark):
+    """Two docs sharing a verbatim 4-token run are flagged with the right
+    window count; document-level-dissimilar docs sharing NO window are
+    not; a window present in more docs than max_window_df (boilerplate)
+    is dropped before the join."""
+    from ocr_text_recognition_spark.operators.dedup import substring_dup_pairs
+
+    lifted = "alpha beta gamma delta"          # the shared verbatim run
+    boiler = "footer nav terms legal"           # on 3 docs -> df 3 > cap 2
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {lifted} end {boiler}"),
+            (2, f"{lifted} something else here {boiler}"),
+            (3, f"totally unrelated words only {boiler}"),
+            (4, "short"),                        # < window tokens: skipped
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["n_shared_windows"] for r in
+           substring_dup_pairs(docs, "doc_id", "text", window=4,
+                               max_window_df=2).collect()}
+    # docs 1 and 2 share exactly the one 4-token window "alpha beta gamma
+    # delta" (their other windows differ because the surrounding words
+    # differ); the boilerplate window is df=3 -> capped out, so (1,3) and
+    # (2,3) must NOT appear.
+    assert out == {(1, 2): 1}
