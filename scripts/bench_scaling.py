@@ -10,12 +10,12 @@ Methodology:
 - each level runs in a fresh child process (a JVM can't change master)
   with a full warm-up pass, then TRIALS timed passes; the MEDIAN is
   reported (single runs on a shared box swing 10-20%);
-- two N:4N pairs are measured: 1->4 (primary — per-core turbo/memory
-  bandwidth are stable in this range) and 2->8 (secondary — this box's
-  raw numpy throughput itself only scales at ~0.81 from 2 to 8 active
-  cores, measured by scripts/bench_ceiling.py: a hardware ceiling, not a
-  property of the job; a real cluster gives each executor its own memory
-  channels).
+- two N:4N pairs are measured: 1->4 and the GATED 2->8. The gated pair
+  runs as GATE_ROUNDS temporally-interleaved A/B child pairs and gates
+  on the median of per-round ratios (see run_gate_pair_interleaved);
+  the raw-kernel ceiling is co-measured by scripts/bench_ceiling.py in
+  the same invocation (post round-4 kernel work it packs at ~1.0, so
+  the gate gap to 1.0 is per-job driver overhead, not the kernel).
 """
 
 from __future__ import annotations
@@ -321,9 +321,10 @@ Reference baseline: the reference app publishes no numbers; its cost model
 is one EasyOCR NN inference per image + one Tesseract subprocess per table
 cell on a single thread (BASELINE.md). This engine recognizes each distinct
 image once, Arrow-batched, across all cores: the builtin kernel decodes
-~120 images/sec (~4700 chars/sec) on ONE core (measured, 96 mixed
-synthetic images) vs the ~1 image/sec/core EasyOCR CPU ballpark — ~100x
-per core on the fixture workload, before distinct-ref dedup.
+~{ceiling[min(ceiling)]['agg_imgs_per_sec'] / min(ceiling):.0f} images/sec
+on ONE core (the solo row of the co-measured ceiling above) vs the
+~1 image/sec/core EasyOCR CPU ballpark — two orders of magnitude per
+core on the fixture workload, before distinct-ref dedup.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
