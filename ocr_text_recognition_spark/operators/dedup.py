@@ -446,20 +446,27 @@ def prefix_filter_jaccard_join(
     sizes_all = tok_all.groupBy("doc_id").agg(F.count("*").alias("n"))
     # Collapse identical token sets: one combining agg builds a per-doc
     # set fingerprint; each set's min doc_id becomes the representative.
+    # Tokens are hashed BEFORE the set is serialized: sha2 hex digests
+    # are fixed-width, so their sorted concatenation is injective —
+    # concat_ws over raw tokens would let a token containing the
+    # separator byte collide two different sets (Java \\s does not split
+    # on U+001F, so tokens CAN contain it).
     mem = (
         tok_all.groupBy("doc_id")
         .agg(
             F.sha2(
-                F.concat_ws("\x1f", F.sort_array(F.collect_set("token"))), 256
+                F.concat_ws(
+                    "", F.sort_array(F.collect_set(F.sha2(F.col("token"), 256)))
+                ),
+                256,
             ).alias("seth")
         )
         .withColumn("rep", F.min("doc_id").over(Window.partitionBy("seth")))
         .select("doc_id", "rep")
     )
-    tok = tok_all.join(
-        mem.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
-    )
-    sizes = sizes_all.join(tok.select("doc_id").distinct(), "doc_id")
+    reps = mem.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    tok = tok_all.join(reps, "doc_id")
+    sizes = sizes_all.join(reps, "doc_id")
     dfc = tok.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
     plen = (

@@ -98,25 +98,20 @@ def bm25_topk(
       tiebreak, so cross-engine float ulp drift cannot reorder the
       top-k boundary; global top-k compiles to TakeOrderedAndProject.
     """
+    from .textanalysis import tokens
+
     toks = [t.lower() for t in query_tokens]
     tok = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
-                lambda t: t != "",
-            )
-        ).alias("token"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
     )
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     qtok = tok.filter(F.col("token").isin(toks))
     tf = qtok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfc = (
-        qtok.select("doc_id", "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count("*").alias("df"))
-    )
+    # tf already holds exactly one row per (doc, token), so document
+    # frequency is a count over tf — no second distinct/aggregation pass
+    # over the exploded tokens
+    dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
     scalars = F.broadcast(
         dl.agg(
             F.count("*").alias("n_docs"),

@@ -390,7 +390,12 @@ def hard_negative_topk(
             cosine(F.col(vec_col), F.col("q_vec")).alias("cos"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    # Rank on the ROUNDED cosine (id tiebreak) — same cross-engine
+    # invariant as bm25_topk: a last-ulp difference between two engines'
+    # double cosines must not flip ranks or the top-k boundary.
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round("cos", 6)), F.asc(id_col)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -1819,7 +1819,7 @@ s AS (SELECT q.query_id, c.vec_id, c.label,
                / (sqrt(list_inner_product(c.emb, c.emb)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
       FROM c CROSS JOIN q WHERE c.label <> q.q_label),
 r AS (SELECT query_id, vec_id, label, cos,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, vec_id ASC) AS INT) AS rank
       FROM s)
 SELECT query_id, vec_id, label, ROUND(cos, 6) AS cos_r, rank FROM r WHERE rank <= 3
 """
