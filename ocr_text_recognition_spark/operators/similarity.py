@@ -60,7 +60,10 @@ def brute_force_topk(
         id_col,
         cosine(F.col(vec_col), F.col("q_vec")).alias("cos"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    # rounded-cosine rank: cross-engine ulp drift must not flip ranks
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round("cos", 6)), F.asc(id_col)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -122,7 +125,10 @@ def lsh_topk(
     scored = e.join(q, "bucket").select(
         query_id_col, id_col, cosine(F.col(vec_col), F.col("q_vec")).alias("cos")
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    # rounded-cosine rank: cross-engine ulp drift must not flip ranks
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round("cos", 6)), F.asc(id_col)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -254,7 +260,10 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(probes), "cid").select(
         query_id_col, id_col, cosine(F.col(vec_col), F.col("q_vec")).alias("cos")
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    # rounded-cosine rank: cross-engine ulp drift must not flip ranks
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round("cos", 6)), F.asc(id_col)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -377,7 +377,7 @@ s AS (SELECT q.query_id, c.vec_id,
                / (sqrt(list_inner_product(c.emb, c.emb)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
       FROM c CROSS JOIN q),
 r AS (SELECT query_id, vec_id, cos,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, vec_id ASC) AS INT) AS rank
       FROM s)
 SELECT query_id, vec_id, ROUND(cos, 6) AS cos_r, rank FROM r WHERE rank <= 5
 """
@@ -622,7 +622,7 @@ s AS (SELECT q.query_id, c.vec_id,
                / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
       FROM c JOIN q ON c.bucket = q.bucket),
 r AS (SELECT query_id, vec_id, cos,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, vec_id ASC) AS INT) AS rank
       FROM s)
 SELECT query_id, vec_id, ROUND(cos, 6) AS cos_r, rank FROM r WHERE rank <= 3
 """
@@ -660,7 +660,7 @@ s AS (SELECT p.query_id, a.vec_id,
                / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(p.qv, p.qv))) AS cos
       FROM asg a JOIN probe p ON a.cid = p.cid),
 r AS (SELECT query_id, vec_id, cos,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, vec_id ASC) AS INT) AS rank
       FROM s)
 SELECT query_id, vec_id, ROUND(cos, 6) AS cos_r, rank FROM r WHERE rank <= 3
 """
@@ -766,7 +766,7 @@ s AS (SELECT qp.query_id, c.vec_id,
                / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(qp.qv, qp.qv))) AS cos
       FROM c JOIN qp ON c.bucket = qp.bucket),
 r AS (SELECT query_id, vec_id, cos,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, vec_id ASC) AS INT) AS rank
       FROM s)
 SELECT query_id, vec_id, ROUND(cos, 6) AS cos_r, rank FROM r WHERE rank <= 3
 """
