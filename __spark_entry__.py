@@ -2084,6 +2084,19 @@ def q107_substring_dups(spark, sf_dir):
     return substring_dup_pairs(docs, "doc_id", "text", window=32, max_window_df=100)
 
 
+def q108_bpe_merges(spark, sf_dir):
+    """BPE tokenizer merge training (operators/lm.py bpe_train):
+    frequency-weighted distinct-word table, per-iteration pair-count
+    aggregate + JVM-side fold merge pass, driver-known 1-row argmax per
+    merge (the IVF-codebook shape). Iterative-greedy — no SQL oracle;
+    rows-only in the sweep, pinned instead against a plain-Python twin
+    in tests/test_operators.py::test_bpe_train_matches_python_twin."""
+    from ocr_text_recognition_spark.operators.lm import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, "doc_id", "text", n_merges=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2193,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_bm25_topk": q105_bm25_topk,
         "q106_hard_negatives": q106_hard_negatives,
         "q107_substring_dups": q107_substring_dups,
+        "q108_bpe_merges": q108_bpe_merges,
     }
 
 

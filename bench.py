@@ -58,11 +58,11 @@ BENCH_QUERIES = [
     "q107_substring_dups",
 ]
 
-# Why these 34 of the 107 registered queries: one representative per
+# Why these 34 of the 108 registered queries: one representative per
 # operator family (scan/agg/join/window/dedup/ANN/curation/graph/stats/
 # streaming-batch-twin), weighted toward the most shuffle- or
 # compute-expensive member of each family so regressions surface. The
-# other 73 are structural variants of a benched family member (same plan
+# other 74 are structural variants of a benched family member (same plan
 # shape, different predicate/column) — none is excluded for being slow.
 # q94 runs at its registered threshold (0.9) and is the bench's most
 # expensive line BY MEASURED NATURE, not by accident: the sf0.1
@@ -74,8 +74,8 @@ BENCH_QUERIES = [
 # the join. The 0.6-threshold variant is worse still (~1M+ pairs) and
 # stays unbenched for the same reason — that exclusion is this note.
 BENCH_NOTES = (
-    "34/107 queries benched: one per operator family, most-expensive "
-    "member preferred; remaining 73 share a benched plan shape. q94 "
+    "34/108 queries benched: one per operator family, most-expensive "
+    "member preferred; remaining 74 share a benched plan shape. q94 "
     "benched at threshold 0.9 is output-bound by corpus shape (964,854 "
     "true pairs at sf0.1, measured); its 0.6 variant is excluded as a "
     "throughput probe for the same reason."

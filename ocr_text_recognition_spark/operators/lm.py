@@ -120,3 +120,128 @@ def collocations(
             ).alias("pmi"),
         )
     )
+
+
+def bpe_merge_pass(
+    words: DataFrame, left: str, right: str, seq_col: str = "sym"
+) -> DataFrame:
+    """One BPE merge applied to every symbol sequence: replace each
+    non-overlapping, leftmost-first adjacent occurrence of (left, right)
+    with the concatenated symbol. The greedy left-to-right scan is a
+    JVM-side ``aggregate`` fold with a (out, prev) struct accumulator —
+    no Python, no explode; one narrow map over the vocabulary table."""
+    merged = left + right
+    out_t = "array<string>"
+
+    def step(acc, x):
+        return (
+            F.when(
+                acc["prev"].isNotNull()
+                & (acc["prev"] == F.lit(left))
+                & (x == F.lit(right)),
+                F.struct(
+                    F.array_append(acc["out"], F.lit(merged)).alias("out"),
+                    F.lit(None).cast("string").alias("prev"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(
+                        acc["prev"].isNotNull(),
+                        F.array_append(acc["out"], acc["prev"]),
+                    )
+                    .otherwise(acc["out"])
+                    .alias("out"),
+                    x.alias("prev"),
+                )
+            )
+        )
+
+    folded = F.aggregate(
+        F.col(seq_col),
+        F.struct(
+            F.lit([]).cast(out_t).alias("out"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        step,
+        lambda acc: F.when(
+            acc["prev"].isNotNull(), F.array_append(acc["out"], acc["prev"])
+        ).otherwise(acc["out"]),
+    )
+    return words.withColumn(seq_col, folded)
+
+
+def bpe_train(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 8,
+) -> DataFrame:
+    """Byte-pair-encoding MERGE TRAINING on Spark — the tokenizer-
+    construction half that ``vocab_encode`` (q95) consumes. Classic BPE
+    (Sennrich et al. 2016): start from characters + an end-of-word
+    marker, repeatedly merge the globally most frequent adjacent symbol
+    pair, weighting by word frequency.
+
+    Scale shape (the standard trick): all work runs on the DISTINCT-WORD
+    table with a frequency column — corpus size only enters through the
+    one (word, freq) aggregation, and each iteration is two small jobs
+    over the vocabulary: a pair-count aggregate and the fold-based merge
+    pass (``bpe_merge_pass``). The per-iteration argmax is ONE collected
+    row (count desc, then lexicographic pair — deterministic), the same
+    driver-known-scalar shape as the IVF codebook: the merge decision is
+    inherently sequential, so it lives on the driver while every scan
+    stays distributed. localCheckpoint per iteration truncates the
+    lineage the way dup_clusters does.
+
+    Iterative-greedy merging is not expressible as one SQL query, so
+    this operator ships with a plain-Python twin test instead of a
+    DuckDB oracle (the sanctioned path for iterative algorithms); its
+    queries() entry is rows-only in the sweep.
+
+    Returns (merge_rank, left, right, pair_count)."""
+    from ocr_text_recognition_spark.operators.textanalysis import tokens
+
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            # Spark's split keeps trailing empties (limit -1), and the
+            # (?!^) lookahead also matches at end-of-string — filter the
+            # empty symbol out before appending the end-of-word marker
+            F.concat(
+                F.filter(F.split(F.col("word"), "(?!^)"), lambda x: x != ""),
+                F.array(F.lit("</w>")),
+            ).alias("sym"),
+            "freq",
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words.localCheckpoint()
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("sym"), 1, F.size("sym") - 1),
+                        F.slice(F.col("sym"), 2, F.size("sym") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        row = pairs[0]
+        merges.append((rank, row["l"], row["r"], int(row["pair_count"])))
+        cur = bpe_merge_pass(cur, row["l"], row["r"]).localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    )

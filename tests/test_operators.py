@@ -1399,3 +1399,49 @@ def test_substring_dup_pairs_window_and_cap(spark):
     # differ); the boilerplate window is df=3 -> capped out, so (1,3) and
     # (2,3) must NOT appear.
     assert out == {(1, 2): 1}
+
+
+def test_bpe_train_matches_python_twin(spark):
+    """BPE merge training vs an independent plain-Python implementation
+    of Sennrich et al. 2016 (frequency-weighted distinct words, greedy
+    leftmost non-overlapping merge, (count desc, pair asc) tie-break):
+    the full merge sequence must be identical. Also pins the canonical
+    low/lower/newest/widest example's first merges (es, est, est</w>)."""
+    from collections import Counter
+
+    from ocr_text_recognition_spark.operators.lm import bpe_train
+
+    text = ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).strip()
+
+    def python_bpe(text_, n_merges):
+        words = Counter(text_.lower().split())
+        vocab = {tuple(w) + ("</w>",): f for w, f in words.items()}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pc = Counter()
+            for sym, f in vocab.items():
+                for i in range(len(sym) - 1):
+                    pc[(sym[i], sym[i + 1])] += f
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), c = best
+            merges.append((rank, l, r, c))
+            new_vocab = {}
+            for sym, f in vocab.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+            vocab = new_vocab
+        return merges
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(docs, "doc_id", "text", n_merges=8).collect()]
+    assert got == python_bpe(text, 8)
+    assert [(r[1], r[2]) for r in got[:3]] == [("e", "s"), ("es", "t"), ("est", "</w>")]
