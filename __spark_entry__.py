@@ -2097,6 +2097,23 @@ def q108_bpe_merges(spark, sf_dir):
     return bpe_train(docs, "doc_id", "text", n_merges=8)
 
 
+def q109_bpe_merges_batched(spark, sf_dir):
+    """Batched BPE merge training (operators/lm.py bpe_train_batched):
+    production merge counts need driver round-trips cut from n_merges to
+    n_merges/M — per iteration, collect the top candidate pairs once,
+    greedily select up to M pairwise symbol-disjoint merges
+    (select_disjoint_batch), apply all of them in ONE JVM-side fold
+    (bpe_merge_pass_multi). Iterative-greedy — no SQL oracle; rows-only
+    in the sweep, pinned against a plain-Python twin sharing the
+    selection function
+    (tests/test_operators.py::test_bpe_train_batched_matches_python_twin)
+    and against sequential bpe_train at batch_size=1."""
+    from ocr_text_recognition_spark.operators.lm import bpe_train_batched
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_batched(docs, "doc_id", "text", n_merges=64, batch_size=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2207,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_hard_negatives": q106_hard_negatives,
         "q107_substring_dups": q107_substring_dups,
         "q108_bpe_merges": q108_bpe_merges,
+        "q109_bpe_merges_batched": q109_bpe_merges_batched,
     }
 
 

@@ -170,6 +170,170 @@ def bpe_merge_pass(
     return words.withColumn(seq_col, folded)
 
 
+def bpe_merge_pass_multi(
+    words: DataFrame, pairs: list[tuple[str, str]], seq_col: str = "sym"
+) -> DataFrame:
+    """One fold applying a BATCH of symbol-disjoint merges: each
+    (left, right) in ``pairs`` shares no symbol (nor its merged output
+    string) with any other, so at most one pair can match a given
+    (prev, x) and one left-to-right scan applies all of them exactly as
+    M sequential ``bpe_merge_pass`` calls would. Same (out, prev)
+    struct-accumulator ``aggregate`` as the single-pair pass — still no
+    Python, still one narrow map over the vocabulary table."""
+    out_t = "array<string>"
+
+    def step(acc, x):
+        no_merge = F.struct(
+            F.when(
+                acc["prev"].isNotNull(), F.array_append(acc["out"], acc["prev"])
+            )
+            .otherwise(acc["out"])
+            .alias("out"),
+            x.alias("prev"),
+        )
+        expr = None
+        for left, right in pairs:
+            cond = (
+                acc["prev"].isNotNull()
+                & (acc["prev"] == F.lit(left))
+                & (x == F.lit(right))
+            )
+            branch = F.struct(
+                F.array_append(acc["out"], F.lit(left + right)).alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            )
+            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+        return expr.otherwise(no_merge)
+
+    folded = F.aggregate(
+        F.col(seq_col),
+        F.struct(
+            F.lit([]).cast(out_t).alias("out"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        step,
+        lambda acc: F.when(
+            acc["prev"].isNotNull(), F.array_append(acc["out"], acc["prev"])
+        ).otherwise(acc["out"]),
+    )
+    return words.withColumn(seq_col, folded)
+
+
+def _word_symbols(docs: DataFrame, text_col: str) -> DataFrame:
+    """(sym: array<string>, freq) — the distinct-word table BPE trains
+    on: characters + an end-of-word marker, frequency-weighted."""
+    from ocr_text_recognition_spark.operators.textanalysis import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            # Spark's split keeps trailing empties (limit -1), and the
+            # (?!^) lookahead also matches at end-of-string — filter the
+            # empty symbol out before appending the end-of-word marker
+            F.concat(
+                F.filter(F.split(F.col("word"), "(?!^)"), lambda x: x != ""),
+                F.array(F.lit("</w>")),
+            ).alias("sym"),
+            "freq",
+        )
+    )
+
+
+def select_disjoint_batch(
+    candidates: list[tuple[str, str, int]], batch_size: int
+) -> list[tuple[str, str, int]]:
+    """Greedy non-conflicting batch selection for batched BPE — shared
+    verbatim by the Spark operator and its plain-Python twin so the two
+    implementations cannot drift. ``candidates`` must already be sorted
+    (count desc, left asc, right asc). A candidate conflicts when its
+    {left, right, left+right} intersects any already-selected pair's
+    same set: input-symbol disjointness makes the one-pass fold equal to
+    sequential application, and excluding the merged OUTPUT string keeps
+    a batch from containing both (a,b) and (ab,c)."""
+    used: set[str] = set()
+    batch: list[tuple[str, str, int]] = []
+    for left, right, count in candidates:
+        if len(batch) >= batch_size:
+            break
+        syms = {left, right, left + right}
+        if syms & used:
+            continue
+        used |= syms
+        batch.append((left, right, count))
+    return batch
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 64,
+    batch_size: int = 8,
+    candidate_factor: int = 8,
+) -> DataFrame:
+    """Batched BPE merge training — the production-merge-count variant
+    of ``bpe_train``. Plain BPE is inherently sequential (one argmax →
+    one merge → recount), which on Spark means one driver collect + one
+    job PER MERGE: fine at 8 merges, a 30k-job chain for a real
+    tokenizer. The standard distributed compromise batches it: per
+    iteration, collect the top ``batch_size * candidate_factor`` pairs
+    (one small job), greedily select up to ``batch_size`` pairwise
+    symbol-disjoint pairs (``select_disjoint_batch``), and apply them in
+    ONE fold pass (``bpe_merge_pass_multi``) — driver round-trips drop
+    from ``n_merges`` to ``n_merges / batch_size``.
+
+    Exactness: within a batch the selected merges are mutually
+    independent (disjoint symbols ⇒ applying one cannot change another's
+    occurrences), so the batch equals applying them sequentially. The
+    sequence can still differ from strict one-at-a-time BPE when a merge
+    CREATES a brand-new pair whose count would out-rank a later batch
+    member — the known, accepted deviation of every batched BPE trainer;
+    ``batch_size=1`` degenerates to exact sequential behavior (pinned by
+    test). Twin-tested against a plain-Python implementation sharing
+    ``select_disjoint_batch``.
+
+    Returns (merge_rank, left, right, pair_count) — pair_count as of the
+    batch's shared snapshot."""
+    words = _word_symbols(docs, text_col)
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words.localCheckpoint()
+    while len(merges) < n_merges:
+        top = (
+            cur.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("sym"), 1, F.size("sym") - 1),
+                        F.slice(F.col("sym"), 2, F.size("sym") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(batch_size * candidate_factor)
+            .collect()
+        )
+        if not top:
+            break
+        batch = select_disjoint_batch(
+            [(r["l"], r["r"], int(r["pair_count"])) for r in top],
+            min(batch_size, n_merges - len(merges)),
+        )
+        for left, right, count in batch:
+            merges.append((len(merges) + 1, left, right, count))
+        cur = bpe_merge_pass_multi(
+            cur, [(left, right) for left, right, _ in batch]
+        ).localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     id_col: str,
@@ -199,23 +363,7 @@ def bpe_train(
     queries() entry is rows-only in the sweep.
 
     Returns (merge_rank, left, right, pair_count)."""
-    from ocr_text_recognition_spark.operators.textanalysis import tokens
-
-    words = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .select(
-            # Spark's split keeps trailing empties (limit -1), and the
-            # (?!^) lookahead also matches at end-of-string — filter the
-            # empty symbol out before appending the end-of-word marker
-            F.concat(
-                F.filter(F.split(F.col("word"), "(?!^)"), lambda x: x != ""),
-                F.array(F.lit("</w>")),
-            ).alias("sym"),
-            "freq",
-        )
-    )
+    words = _word_symbols(docs, text_col)
     merges: list[tuple[int, str, str, int]] = []
     cur = words.localCheckpoint()
     for rank in range(1, n_merges + 1):

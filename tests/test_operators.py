@@ -1445,3 +1445,82 @@ def test_bpe_train_matches_python_twin(spark):
     got = [tuple(r) for r in bpe_train(docs, "doc_id", "text", n_merges=8).collect()]
     assert got == python_bpe(text, 8)
     assert [(r[1], r[2]) for r in got[:3]] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+
+
+def _python_bpe_batched(text_, n_merges, batch_size, candidate_factor=8):
+    """Plain-Python twin of lm.bpe_train_batched: same distinct-word
+    frequency table, same (count desc, pair asc) candidate order, same
+    top-k candidate window, and the SAME select_disjoint_batch function
+    (imported, not re-implemented) so the selection rule cannot drift."""
+    from collections import Counter
+
+    from ocr_text_recognition_spark.operators.lm import select_disjoint_batch
+
+    words = Counter(text_.lower().split())
+    vocab = {tuple(w) + ("</w>",): f for w, f in words.items()}
+    merges = []
+    while len(merges) < n_merges:
+        pc = Counter()
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += f
+        if not pc:
+            break
+        top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = [(l, r, c) for (l, r), c in top[: batch_size * candidate_factor]]
+        batch = select_disjoint_batch(top, min(batch_size, n_merges - len(merges)))
+        for l, r, c in batch:
+            merges.append((len(merges) + 1, l, r, c))
+        pairs = {(l, r): l + r for l, r, _ in batch}
+        new_vocab = {}
+        for sym, f in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) in pairs:
+                    out.append(pairs[(sym[i], sym[i + 1])])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_batched_matches_python_twin(spark):
+    """Batched BPE (top-M symbol-disjoint merges per driver round-trip)
+    vs its plain-Python twin: full merge table identical at M=4 over a
+    vocabulary rich enough that batches actually contain >1 pair AND
+    conflicts occur (shared symbols force skips)."""
+    from ocr_text_recognition_spark.operators.lm import bpe_train_batched
+
+    text = (
+        "low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3
+        + "running " * 4 + "runner " * 2 + "jumped " * 3 + "jumper " * 2
+    ).strip()
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in bpe_train_batched(
+            docs, "doc_id", "text", n_merges=16, batch_size=4
+        ).collect()
+    ]
+    assert got == _python_bpe_batched(text, 16, 4)
+    assert len(got) == 16
+
+
+def test_bpe_train_batched_size1_is_sequential(spark):
+    """batch_size=1 degenerates to exact one-at-a-time BPE: the merge
+    table equals bpe_train's on the same corpus."""
+    from ocr_text_recognition_spark.operators.lm import bpe_train, bpe_train_batched
+
+    text = ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).strip()
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    seq = [tuple(r) for r in bpe_train(docs, "doc_id", "text", n_merges=8).collect()]
+    bat = [
+        tuple(r)
+        for r in bpe_train_batched(
+            docs, "doc_id", "text", n_merges=8, batch_size=1
+        ).collect()
+    ]
+    assert bat == seq

@@ -268,46 +268,84 @@ def test_stateful_orphan_state_expires(spark, tmp_path):
         ("docA", "text", "hello", "", 0),
         ("docA", "eof", None, None, 2**30),
     ])
-    # b2: unrelated doc completes — processing b2 fires orphan's timeout
+    # b2: unrelated doc completes — a later batch fires orphan's timeout
     write("b2.parquet", [
         ("docB", "text", "world", "", 0),
         ("docB", "eof", None, None, 2**30),
     ])
-    # b3: orphan's eof arrives after expiry -> no accumulated state
-    write("b3.parquet", [("orphan", "eof", None, None, 2**30)])
 
-    stream = spark.readStream.schema(
-        "doc_id string, kind string, text string, media_ref string, offset int"
-    ).option("maxFilesPerTrigger", 1).parquet(str(in_dir))
-    out = assemble_spans_stream(stream, orphan_timeout_ms=1)
-    q = (out.writeStream.format("memory").queryName("orphan_assembled")
-         .option("checkpointLocation", str(tmp_path / "orphan_ckpt"))
-         .outputMode("append").trigger(availableNow=True).start())
-    # see test_stateful_span_assembly: timeout batches keep the query
-    # alive forever, so poll for completion instead. "Complete" here =
-    # all 6 input rows consumed (the b3 batch, whose non-emission is the
-    # point, reports its numInputRows only after it COMMITS — so once
-    # the total reaches 6, any phantom orphan row would already be in
-    # the sink) — then stop.
     import time as _time
 
+    ckpt = str(tmp_path / "orphan_ckpt")
+    out_dir = str(tmp_path / "orphan_out")
+
+    def run_pass():
+        # a FILE sink (not memory): pass 2 must RESUME from pass 1's
+        # checkpoint, and the memory sink does not support recovery
+        stream = spark.readStream.schema(
+            "doc_id string, kind string, text string, media_ref string, offset int"
+        ).option("maxFilesPerTrigger", 1).parquet(str(in_dir))
+        out = assemble_spans_stream(stream, orphan_timeout_ms=1)
+        return (out.writeStream.format("parquet").option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start())
+
+    # PASS 1 (b1+b2 only — b3 does not exist yet, so there is no race
+    # between the 1ms timeout and b3's eof): timeout batches keep firing
+    # after the data batches (availableNow + ProcessingTimeTimeout never
+    # self-terminates — see test_stateful_span_assembly), so poll until
+    # the orphan's expiry is OBSERVED in the state-operator metrics
+    # (numRowsRemoved >= 1: docA/docB never stored state, their
+    # remove() is a no-op on the store, so the first stored-row removal
+    # is the orphan) and the standing state is empty.
+    q = run_pass()
     deadline = _time.time() + 240
+    expired = False
     while _time.time() < deadline:
-        if sum(p["numInputRows"] for p in q.recentProgress) >= 6:
+        removed = sum(
+            s["numRowsRemoved"]
+            for p in q.recentProgress
+            for s in p.get("stateOperators", [])
+        )
+        last = q.lastProgress
+        total = (last or {}).get("stateOperators", [{}])
+        n_live = total[0].get("numRowsTotal", -1) if total else -1
+        if removed >= 1 and n_live == 0:
+            expired = True
             break
-        _time.sleep(2)
+        _time.sleep(1)
     q.stop()
     q.awaitTermination(60)
+    assert expired, "orphan state never expired within 240s"
 
     got = {
         r["doc_id"]: [(s["kind"], s["text"]) for s in r["spans"]]
-        for r in spark.sql("SELECT * FROM orphan_assembled").collect()
+        for r in spark.read.parquet(out_dir).collect()
     }
     assert got["docA"] == [("text", "hello")]
     assert got["docB"] == [("text", "world")]
+    assert "orphan" not in got  # expiry must not emit a partial doc
+
+    # PASS 2: only now does orphan's eof arrive — written AFTER expiry is
+    # a committed fact in the checkpoint, so the late-eof path is tested
+    # deterministically. Same checkpoint; fresh memory sink.
+    write("b3.parquet", [("orphan", "eof", None, None, 2**30)])
+    q = run_pass()
+    deadline = _time.time() + 240
+    while _time.time() < deadline:
+        # b3's numInputRows reports only after its batch COMMITS, so once
+        # the total reaches 1 any phantom orphan row would already be in
+        # the sink.
+        if sum(p["numInputRows"] for p in q.recentProgress) >= 1:
+            break
+        _time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+
+    got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     # the orphan's pre-expiry span is GONE and its late eof is suppressed:
     # no row at all for the expired doc (not even an empty-span one)
-    assert "orphan" not in got
+    assert "orphan" not in got2
 
 
 def test_stream_dedup_incremental(spark, tmp_path):
