@@ -2114,6 +2114,60 @@ def q109_bpe_merges_batched(spark, sf_dir):
     return bpe_train_batched(docs, "doc_id", "text", n_merges=64, batch_size=8)
 
 
+def q110_substring_cut_spans(spark, sf_dir):
+    """Cut locations for exact substring dedup (operators/dedup.py
+    substring_dup_spans) — the removal step of Lee et al. 2022: per doc,
+    maximal merged intervals of token positions covered by a duplicated
+    32-token window (window-df in [2, 100]). Gaps-and-islands over
+    equal-length intervals: new island iff win_start - prev_start > 32."""
+    from ocr_text_recognition_spark.operators.dedup import substring_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dup_spans(docs, "doc_id", "text", window=32, max_window_df=100)
+
+
+def q111_audio_metadata(spark, sf_dir):
+    """PCM WAV audio metadata + loudness (operators/multimodal.py
+    audio_metadata — RIFF/WAVE is codec-free, so this is a real decode in
+    the same mapInPandas poison-pill shape as image_metadata). Oracle: a
+    VALUES table derived in CLOSED FORM from the synthetic pool's
+    construction parameters (avsynth.expected_audio_meta: duration =
+    frames/rate, square-wave RMS = amplitude) — never from the parser."""
+    import pandas as pd
+
+    from ocr_text_recognition_spark.avsynth import make_audio_pool
+    from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+    from ocr_text_recognition_spark.operators.multimodal import audio_metadata
+
+    pool = pd.DataFrame(make_audio_pool(), columns=["media_ref", "content"])
+    media = pandas_to_spark(spark, pool, "media")
+    return audio_metadata(media).select(
+        "media_ref", "sample_rate", "channels", "bits",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"), "n_bytes", "valid",
+    )
+
+
+def q112_video_metadata(spark, sf_dir):
+    """MP4 container metadata via pure atom walk (operators/multimodal.py
+    video_metadata: ftyp brand, mvhd duration, tkhd 16.16 dimensions,
+    track count). Oracle: closed-form VALUES from the builder spec
+    (avsynth.expected_video_meta: duration = units/timescale)."""
+    import pandas as pd
+
+    from ocr_text_recognition_spark.avsynth import make_video_pool
+    from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+    from ocr_text_recognition_spark.operators.multimodal import video_metadata
+
+    pool = pd.DataFrame(make_video_pool(), columns=["media_ref", "content"])
+    media = pandas_to_spark(spark, pool, "media")
+    return video_metadata(media).select(
+        "media_ref", "major_brand",
+        F.round("duration_s", 6).alias("duration_s"),
+        "width", "height", "n_tracks", "n_bytes", "valid",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2225,6 +2279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_substring_dups": q107_substring_dups,
         "q108_bpe_merges": q108_bpe_merges,
         "q109_bpe_merges_batched": q109_bpe_merges_batched,
+        "q110_substring_cut_spans": q110_substring_cut_spans,
+        "q111_audio_metadata": q111_audio_metadata,
+        "q112_video_metadata": q112_video_metadata,
     }
 
 

@@ -176,7 +176,12 @@ def run_extraction(
     )
     if persist_media_locators:
         spans_ref = spans_ref.persist()
-    parallelism = kernel_parallelism or spark.sparkContext.defaultParallelism * 2
+    if kernel_parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism * 2
+    elif kernel_parallelism >= 1:
+        parallelism = kernel_parallelism
+    else:
+        raise ValueError(f"kernel_parallelism must be >= 1, got {kernel_parallelism}")
     distinct_refs = spans_ref.select("kind", "media_ref").distinct()
     # Repartition the payloads (post-join, pre-UDF): partitions must be
     # sized by kernel COMPUTE, not bytes, or AQE coalesces the UDF stage.

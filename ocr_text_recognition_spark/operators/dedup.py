@@ -219,7 +219,13 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: band the 16-bit simhash into four
+    """SimHash near-duplicate pairs. EAGER: the returned DataFrame is
+    localCheckpoint()ed — evaluation happens at call time and the result
+    is served from executor blocks, not recomputable from lineage on
+    executor loss (callers composing lazy/recoverable plans should
+    persist the simhash16() signatures themselves and band externally).
+
+    Band the 16-bit simhash into four
     4-bit chunks — by pigeonhole, any pair within hamming distance 3
     shares at least one identical chunk — so candidates come from a
     chunk-keyed equi-join (never all-pairs) and the exact hamming check
@@ -667,3 +673,70 @@ def substring_dup_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_shared_windows"))
     )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    max_window_df: int = 100,
+) -> DataFrame:
+    """CUT LOCATIONS for exact substring dedup — the removal half of the
+    Lee et al. 2022 pipeline that ``substring_dup_pairs`` only identifies:
+    per document, every token position covered by a duplicated
+    ``window``-token run, merged into maximal cut intervals.
+
+    A window is "duplicated" when its hash appears in >= 2 documents
+    (and <= ``max_window_df`` — the same hot-window/licence-blurb cap as
+    the pairs operator, applied BEFORE any join). Overlapping and
+    adjacent duplicated windows coalesce via gaps-and-islands: all
+    intervals have equal length ``window``, so a new island starts
+    exactly when ``win_start - prev_start > window`` — one lag + one
+    running sum per doc, no running-max needed.
+
+    Scale shape: positions explode once (posexplode over the same
+    JVM-side rolling-hash transform), the window-df aggregate runs on the
+    DISTINCT (doc, hash) projection, and the only join is positions ⋈
+    duplicated-hashes on the hash key — never doc-to-doc. The island
+    window function partitions by doc_id: per-doc work, no global sort.
+
+    Returns (doc_id, cut_start, cut_end, n_windows): 1-based inclusive
+    token indexes to cut, and how many duplicated windows the interval
+    absorbed."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    ).filter(F.size("toks") >= window)
+    pos = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(window - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, window))),
+            )
+        ).alias("pos", "wh"),
+    ).select("doc_id", (F.col("pos") + 1).cast("int").alias("win_start"), "wh")
+    wdf = (
+        pos.select("doc_id", "wh")
+        .distinct()
+        .groupBy("wh")
+        .agg(F.count("*").alias("wdf"))
+        .filter((F.col("wdf") >= 2) & (F.col("wdf") <= max_window_df))
+    )
+    dup = pos.join(wdf, "wh").select("doc_id", "win_start")
+    bypos = Window.partitionBy("doc_id").orderBy("win_start")
+    run = Window.partitionBy("doc_id").orderBy("win_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = dup.withColumn(
+        "newi",
+        F.when(
+            F.col("win_start") - F.lag("win_start").over(bypos) <= window, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("island", F.sum("newi").over(run))
+    return flagged.groupBy("doc_id", "island").agg(
+        F.min("win_start").cast("int").alias("cut_start"),
+        (F.max("win_start") + F.lit(window - 1)).cast("int").alias("cut_end"),
+        F.count("*").cast("long").alias("n_windows"),
+    ).drop("island")

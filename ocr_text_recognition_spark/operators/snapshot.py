@@ -31,8 +31,11 @@ def snapshot_diff(
         # concat_ws silently SKIPS NULL columns, so (NULL,'a') and
         # ('a',NULL) — or NULL vs '' — would hash identically and be
         # misclassified as unchanged. Coalesce each column to a sentinel
-        # that cannot collide with real text (contains \x00) so NULLs
-        # are distinguishable both from empty strings and by position.
+        # containing \x00 — a byte text payloads essentially never carry
+        # (binary-ish columns cast to string COULD, so the encoding is
+        # not strictly injective; if such columns matter, hash a per-
+        # column null bitmap alongside) — so NULLs are distinguishable
+        # both from empty strings and by position.
         parts = [
             F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
             for c in payload_cols

@@ -1846,3 +1846,88 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM ww a JOIN ww b ON a.wh = b.wh AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+# q110: substring-dedup cut locations — same tokenizer/rolling-window
+# hashes as q107, duplicated = window-df in [2, 100], positions joined
+# back on the hash key, then gaps-and-islands per doc (equal-length
+# intervals: new island iff win_start - prev_start > 32; LAG NULL at the
+# first row falls through the CASE to 1).
+ORACLES["q110_substring_cut_spans"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+           t -> t <> '') AS toks
+  FROM documents),
+t2 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 32),
+p AS (SELECT doc_id, CAST(i AS INT) AS win_start,
+             md5(array_to_string(toks[i : i + 31], ' ')) AS wh
+      FROM t2, unnest(generate_series(1, n - 31)) AS g(i)),
+w AS (SELECT DISTINCT doc_id, wh FROM p),
+keepw AS (SELECT wh FROM (SELECT wh, COUNT(*) AS c FROM w GROUP BY wh)
+          WHERE c BETWEEN 2 AND 100),
+d AS (SELECT p.doc_id, p.win_start FROM p JOIN keepw USING (wh)),
+fl AS (SELECT doc_id, win_start,
+              CASE WHEN win_start
+                        - LAG(win_start) OVER (PARTITION BY doc_id
+                                               ORDER BY win_start) <= 32
+                   THEN 0 ELSE 1 END AS newi
+       FROM d),
+isl AS (SELECT doc_id, win_start,
+               SUM(newi) OVER (PARTITION BY doc_id ORDER BY win_start
+                               ROWS UNBOUNDED PRECEDING) AS island
+        FROM fl)
+SELECT doc_id, CAST(MIN(win_start) AS INT) AS cut_start,
+       CAST(MAX(win_start) + 31 AS INT) AS cut_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def _sqlval(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _values_table(rows, cols_with_types):
+    """Build a typed VALUES oracle from closed-form expected rows: the
+    outer SELECT casts every column so NULLs carry the right type."""
+    values = ",\n  ".join(
+        "(" + ", ".join(_sqlval(v) for v in row) + ")" for row in rows
+    )
+    names = ", ".join(name for name, _ in cols_with_types)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols_with_types)
+    return f"SELECT {casts} FROM (VALUES\n  {values}\n) AS t({names})"
+
+
+# q111/q112: audio/video container metadata — the oracle is arithmetic on
+# the synthetic pool's CONSTRUCTION parameters (avsynth.expected_*_meta),
+# independent of the parsers under test.
+from ocr_text_recognition_spark.avsynth import expected_audio_meta, expected_video_meta
+
+ORACLES["q111_audio_metadata"] = _values_table(
+    [
+        (ref, rate, ch, bits,
+         None if dur is None else round(dur, 6),
+         None if rms is None else round(rms, 6), nb, valid)
+        for ref, rate, ch, bits, dur, rms, nb, valid in expected_audio_meta()
+    ],
+    [("media_ref", "VARCHAR"), ("sample_rate", "INT"), ("channels", "INT"),
+     ("bits", "INT"), ("duration_s", "DOUBLE"), ("rms", "DOUBLE"),
+     ("n_bytes", "BIGINT"), ("valid", "BOOLEAN")],
+)
+
+ORACLES["q112_video_metadata"] = _values_table(
+    [
+        (ref, brand, None if dur is None else round(dur, 6), w, h, nt, nb, valid)
+        for ref, brand, dur, w, h, nt, nb, valid in expected_video_meta()
+    ],
+    [("media_ref", "VARCHAR"), ("major_brand", "VARCHAR"),
+     ("duration_s", "DOUBLE"), ("width", "INT"), ("height", "INT"),
+     ("n_tracks", "INT"), ("n_bytes", "BIGINT"), ("valid", "BOOLEAN")],
+)

@@ -229,6 +229,84 @@ def test_image_metadata_multimodal(spark):
     assert max(small.shape) <= 32  # block-mean factor rounding keeps it near max_side
 
 
+def test_audio_metadata_wav_parse(spark):
+    """audio_metadata fully decodes PCM WAV (codec-free format): the
+    recovered rate/channels/duration/RMS must equal the CONSTRUCTION
+    parameters of the synthetic payload (not a round-trip through the
+    parser), and corrupt / compressed-format payloads surface as
+    valid=false rows."""
+    import pandas as pd
+
+    from ocr_text_recognition_spark.avsynth import make_wav_bytes, square_wave_pcm16
+    from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+    from ocr_text_recognition_spark.operators.multimodal import audio_metadata
+
+    # 8000 samples at 16 kHz mono -> exactly 0.5 s; ±4096 square -> RMS 4096
+    wav = make_wav_bytes(square_wave_pcm16(8000, amplitude=4096), sample_rate=16000)
+    # stereo: 4000 frames at 8 kHz -> 0.5 s
+    import numpy as np
+
+    stereo = np.repeat(square_wave_pcm16(4000, amplitude=100), 2)
+    wav2 = make_wav_bytes(stereo, sample_rate=8000, channels=2)
+    media_pd = pd.DataFrame(
+        [
+            {"media_ref": "mono", "content": wav},
+            {"media_ref": "stereo", "content": wav2},
+            {"media_ref": "bad", "content": b"ID3\x04not-a-wav"},
+        ]
+    )
+    meta = {
+        r["media_ref"]: r
+        for r in audio_metadata(pandas_to_spark(spark, media_pd, "media")).collect()
+    }
+    m = meta["mono"]
+    assert m["valid"] and m["sample_rate"] == 16000 and m["channels"] == 1
+    assert m["bits"] == 16 and m["duration_s"] == 0.5 and m["rms"] == 4096.0
+    s = meta["stereo"]
+    assert s["valid"] and s["channels"] == 2 and s["duration_s"] == 0.5
+    assert s["rms"] == 100.0
+    assert not meta["bad"]["valid"] and meta["bad"]["duration_s"] is None
+
+
+def test_video_metadata_mp4_atom_walk(spark):
+    """video_metadata recovers brand/duration/dimensions/track-count from
+    the MP4 box structure alone — values pinned to the builder's
+    parameters; a 64-bit-size (v1 mvhd) variant and a truncated payload
+    exercise the parser's edge paths."""
+    import struct
+
+    import pandas as pd
+
+    from ocr_text_recognition_spark.avsynth import _box, make_mp4_bytes
+    from ocr_text_recognition_spark.io_pandas import pandas_to_spark
+    from ocr_text_recognition_spark.operators.multimodal import parse_mp4, video_metadata
+
+    mp4 = make_mp4_bytes(3000, timescale=600, width=640, height=360, n_tracks=2)
+    media_pd = pd.DataFrame(
+        [
+            {"media_ref": "vid", "content": mp4},
+            {"media_ref": "trunc", "content": mp4[:20]},
+        ]
+    )
+    meta = {
+        r["media_ref"]: r
+        for r in video_metadata(pandas_to_spark(spark, media_pd, "media")).collect()
+    }
+    v = meta["vid"]
+    assert v["valid"] and v["major_brand"] == "isom"
+    assert v["duration_s"] == 5.0 and v["width"] == 640 and v["height"] == 360
+    assert v["n_tracks"] == 2
+    assert not meta["trunc"]["valid"]
+
+    # mvhd VERSION 1 (64-bit duration): hand-built box, parsed directly
+    mvhd_v1 = _box(
+        b"mvhd",
+        struct.pack(">B3xQQIQ", 1, 0, 0, 1000, 2500) + b"\x00" * 80,
+    )
+    v1 = parse_mp4(_box(b"moov", mvhd_v1))
+    assert v1["duration_s"] == 2.5 and v1["n_tracks"] == 0
+
+
 def test_ivf_topk_matches_brute_force_on_probed_lists(spark):
     """IVF with enough probes to cover every centroid must equal brute
     force exactly; with n_probe=1 results are a subset of brute force."""
@@ -1399,6 +1477,45 @@ def test_substring_dup_pairs_window_and_cap(spark):
     # differ); the boilerplate window is df=3 -> capped out, so (1,3) and
     # (2,3) must NOT appear.
     assert out == {(1, 2): 1}
+
+
+def test_substring_dup_spans_cut_intervals(spark):
+    """Cut locations: overlapping duplicated windows merge into ONE
+    interval; a second duplicated run separated by a gap is its own
+    interval; hot (boilerplate) windows past max_window_df contribute
+    no cut at all."""
+    from ocr_text_recognition_spark.operators.dedup import substring_dup_spans
+
+    lifted = "alpha beta gamma delta epsilon"   # 5 tokens -> 2 overlapping
+    lifted2 = "one two three four"              # a second shared run
+    boiler = "footer nav terms legal"           # df 3 > cap 2 -> no cut
+    docs = spark.createDataFrame(
+        [
+            # doc 1: lifted at tokens 2-6, lifted2 at tokens 9-12 (gap of
+            # two non-duplicated tokens between the runs), boiler at end
+            (1, f"pre {lifted} gap xx {lifted2} tail {boiler}"),
+            (2, f"{lifted} other words entirely {lifted2} {boiler}"),
+            (3, f"unrelated filler words here only {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["cut_start"], r["cut_end"]): r["n_windows"]
+        for r in substring_dup_spans(
+            docs, "doc_id", "text", window=4, max_window_df=2
+        ).collect()
+    }
+    # doc 1: "alpha beta gamma delta" starts at 2, "beta gamma delta
+    # epsilon" at 3 -> one merged interval [2, 6] of 2 windows; lifted2
+    # starts at 9 -> [9, 12]. doc 2: starts 1 and 2 -> [1, 5]; lifted2 at
+    # 9 -> wait, doc 2's lifted2 starts at token 9 ("other words
+    # entirely" = 3 tokens after 5) -> [9, 12]. doc 3: boiler only -> no
+    # rows (df-capped).
+    assert out == {
+        (1, 2, 6): 2, (1, 9, 12): 1,
+        (2, 1, 5): 2, (2, 9, 12): 1,
+    }
+    assert not any(d == 3 for d, _, _ in out)
 
 
 def test_bpe_train_matches_python_twin(spark):
