@@ -104,15 +104,20 @@ def stream_dedup(
             # Spark-side probe of the standing table: works on any
             # filesystem Spark can read (a driver-local os.walk would
             # silently see nothing on HDFS/S3 and skip dedup forever).
-            # Exclude this batch's OWN directory: foreachBatch is
+            # Exclude this batch's OWN rows: foreachBatch is
             # at-least-once, so a replay after a crash between the
             # signature write and the checkpoint commit would otherwise
             # see batch_{batch_id}'s signatures from the failed attempt
             # and join the batch against itself, emitting spurious
             # self-pairs (new_id == corpus_id, est_jaccard = 1.0).
+            # The exclusion filters on the stamped batch_id COLUMN, not
+            # on file paths (a path filter is brittle to layout/URI
+            # formatting differences across filesystems).
             try:
-                corpus_sigs = sess.read.parquet(f"{sig_table_dir}/*/").where(
-                    ~F.input_file_name().contains(f"/batch_{batch_id}/")
+                corpus_sigs = (
+                    sess.read.parquet(f"{sig_table_dir}/*/")
+                    .where(F.col("batch_id") != batch_id)
+                    .drop("batch_id")
                 )
             except Exception:
                 corpus_sigs = None  # first batch: no table yet
@@ -125,10 +130,12 @@ def stream_dedup(
                 dups.withColumn("batch_id", F.lit(batch_id)).write.mode(
                     "overwrite"
                 ).parquet(f"{dups_out_dir}/batch_{batch_id}")
-            # same idempotence shape for the signature table
-            new_sigs.write.mode("overwrite").parquet(
-                f"{sig_table_dir}/batch_{batch_id}"
-            )
+            # same idempotence shape for the signature table; batch_id
+            # travels as a column so the replay exclusion above is
+            # structural rather than path-string-based
+            new_sigs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(f"{sig_table_dir}/batch_{batch_id}")
         finally:
             new_sigs.unpersist()
 

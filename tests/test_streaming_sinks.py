@@ -444,11 +444,12 @@ def test_stream_dedup_replay_no_self_pairs(spark, tmp_path):
     sig_dir = str(tmp_path / "sig_table")
     dups_dir = str(tmp_path / "dups_out")
     # the "failed attempt": batch 0's own signatures are already in the
-    # standing table, but the checkpoint was never committed
+    # standing table (stamped with batch_id, exactly as process_batch
+    # writes them), but the checkpoint was never committed
     batch_df = spark.read.schema("doc_id long, text string").parquet(str(in_dir))
-    minhash_signatures(batch_df, "doc_id", "text", num_perm=8).write.parquet(
-        f"{sig_dir}/batch_0"
-    )
+    minhash_signatures(batch_df, "doc_id", "text", num_perm=8).withColumn(
+        "batch_id", F.lit(0)
+    ).write.parquet(f"{sig_dir}/batch_0")
 
     spark.conf.set("spark.sql.streaming.fileSource.schema.forceNullable", "true")
     q = stream_dedup(
