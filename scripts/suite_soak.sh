@@ -10,9 +10,13 @@ cd "$(dirname "$0")/.."
 : > "$LOG"
 for i in $(seq 1 "$N"); do
   start=$(date +%s)
-  out=$(python -m pytest tests/ -q 2>&1 | tail -2)
+  full=$(python -m pytest tests/ -q 2>&1)
   rc=$?
   end=$(date +%s)
+  out=$(echo "$full" | tail -2)
   echo "run $i: rc=$rc elapsed=$((end-start))s :: $(echo "$out" | tr '\n' ' ')" >> "$LOG"
+  if [ "$rc" -ne 0 ]; then
+    echo "$full" > "${LOG%.log}_run${i}_fail.txt"
+  fi
 done
 echo DONE >> "$LOG"

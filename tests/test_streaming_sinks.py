@@ -114,30 +114,50 @@ def test_stateful_span_assembly_across_microbatches(spark, small_corpus, tmp_pat
             [pa.array([c[i] for c in chunk], schema.field(i).type) for i in range(5)],
             schema=schema), str(in_dir / name))
 
-    stream = spark.readStream.schema(
-        "doc_id string, kind string, text string, media_ref string, offset int"
-    ).option("maxFilesPerTrigger", 1).parquet(str(in_dir))
-    out = assemble_spans_stream(stream)
-    q = (out.writeStream.format("memory").queryName("assembled")
-         .option("checkpointLocation", str(tmp_path / "ckpt"))
-         .outputMode("append").trigger(availableNow=True).start())
+    out_dir = str(tmp_path / "assembled_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query():
+        stream = spark.readStream.schema(
+            "doc_id string, kind string, text string, media_ref string, offset int"
+        ).option("maxFilesPerTrigger", 1).parquet(str(in_dir))
+        return (assemble_spans_stream(stream)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start())
+
+    def sink_docs() -> int:
+        try:
+            return spark.read.parquet(out_dir).select("doc_id").distinct().count()
+        except Exception:
+            return 0  # sink not created yet
+
     # applyInPandasWithState + ProcessingTimeTimeout keeps scheduling
     # timeout batches past the drained input on Spark 4.1, so neither
     # availableNow termination nor processAllAvailable() ever quiesces:
-    # poll the sink for the expected output, then stop explicitly.
+    # poll the sink (parquet — survives restarts) for the expected output,
+    # then stop explicitly. Spark 4.1's state-store maintenance can also
+    # transiently kill the query with CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT;
+    # a production job restarts from the checkpoint, so the test does too
+    # (bounded retries) — state recovery across restarts is part of the
+    # operator contract being exercised.
+    q = start_query()
+    restarts = 0
     deadline = time.time() + 240
     while time.time() < deadline:
-        if spark.sql(
-            "SELECT count(DISTINCT doc_id) FROM assembled"
-        ).collect()[0][0] == len(docs_pd):
+        if sink_docs() == len(docs_pd):
             break
+        if q.exception() is not None and restarts < 2:
+            restarts += 1
+            q = start_query()
         time.sleep(2)
     q.stop()
     q.awaitTermination(60)
 
     got = {
         r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
-        for r in spark.sql("SELECT * FROM assembled").collect()
+        for r in spark.read.parquet(out_dir).collect()
     }
     want = {
         r["doc_id"]: sorted(
