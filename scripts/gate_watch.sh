@@ -49,8 +49,13 @@ EOF
   if [ "$OK" = "1" ]; then
     echo "$(date -u +%FT%TZ) QUIET window detected -> launching bench_scaling" | tee -a "$LOG"
     python scripts/bench_scaling.py 2>&1 | tee -a "$LOG"
-    RC=$?
+    RC=${PIPESTATUS[0]}
     echo "bench_scaling exited rc=$RC at $(date -u +%FT%TZ)" | tee -a "$LOG"
+    if [ "$RC" = "3" ]; then
+      # UNMEASURABLE: the window collapsed and bench_scaling aborted
+      # without writing artifacts — keep watching for the next window.
+      continue
+    fi
     exit $RC
   fi
   sleep "$PROBE_SLEEP"
