@@ -14,6 +14,7 @@ Resumes idempotently from the bucket ledger when --resume is set.
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def main() -> None:
@@ -57,9 +58,29 @@ def main() -> None:
 
     from ocr_text_recognition_spark.extraction.checkpoint import run_with_checkpoints
     from ocr_text_recognition_spark.extraction.metrics import partition_metrics
+    from ocr_text_recognition_spark.extraction.pipeline import extraction_session_conf
     from ocr_text_recognition_spark.session import get_spark
 
-    spark = get_spark("extract_job")
+    # Scan/shuffle sizing for a compute-bound job: target >= 4 splits per
+    # slot, clamped back to Spark's stock values at multi-GB inputs (the
+    # helper is a no-op on a production-scale table). Local paths only;
+    # object-store inputs size themselves via the catalog/manifest.
+    def _local_bytes(path: str) -> int:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        return 0
+
+    extra_conf = None
+    nbytes = _local_bytes(args.docs) + _local_bytes(args.media)
+    if nbytes:
+        extra_conf = extraction_session_conf(nbytes, os.cpu_count() or 8)
+    spark = get_spark("extract_job", extra_conf=extra_conf)
     docs = spark.read.parquet(args.docs)
     media = spark.read.parquet(args.media)
     processed = run_with_checkpoints(

@@ -42,6 +42,46 @@ from ocr_text_recognition_spark.extraction.udfs import (
 
 DEFAULT_N_SALT = 8
 
+# Spark's stock scan/shuffle sizing targets byte-bound analytics
+# (128 MiB splits, 64 MiB post-shuffle partitions). The extraction job is
+# COMPUTE-bound per row — a 200-byte media_ref row costs ~4 ms of kernel
+# CPU — so byte-sized defaults under-split small-to-medium inputs: a
+# 6 MiB documents file becomes a 1-task scan and AQE coalesces the
+# post-kernel union stage to 2-3 tasks no matter the core count
+# (profiled: scripts/profile_gate.py; the stage-49 serialization in
+# BENCH/gate_attempts_r5.md attempt 6). These are the stock defaults we
+# clamp back to at scale.
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+_DEFAULT_ADVISORY_BYTES = 64 * 1024 * 1024
+
+
+def extraction_session_conf(input_bytes: int, cores: int) -> dict[str, str]:
+    """Job-level session conf for an extraction run over ``input_bytes``
+    of input on ``cores`` parallel slots.
+
+    Targets >= 4 scan splits per slot and keeps post-shuffle partitions
+    proportionally small, clamped to Spark's stock values — so on a real
+    multi-TB table every knob lands back on the default and this helper
+    is a no-op; it only matters when the input is small relative to the
+    cluster (exactly the benchmark/CI regime, where the stock byte
+    thresholds serialize compute-heavy stages).
+
+    Pass the result as ``get_spark(extra_conf=...)`` (or ``--conf`` on
+    spark-submit) BEFORE creating the session: file-split sizes are read
+    at scan planning time.
+    """
+    target_splits = max(cores * 4, 1)
+    split = min(max(input_bytes // target_splits, 1 << 20), _DEFAULT_MAX_PARTITION_BYTES)
+    return {
+        "spark.sql.files.maxPartitionBytes": str(split),
+        # open-cost padding packs small files into one split; scale it
+        # with the split size or a multi-file corpus re-collapses.
+        "spark.sql.files.openCostInBytes": str(max(split // 16, 64 * 1024)),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            min(max(split // 2, 1 << 20), _DEFAULT_ADVISORY_BYTES)
+        ),
+    }
+
 
 def explode_spans(docs: DataFrame) -> DataFrame:
     """documents -> one row per span (doc_id, kind, text, media_ref, offset)."""

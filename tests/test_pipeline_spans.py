@@ -105,3 +105,34 @@ def test_preprocess_kwargs_flow_to_media_udf(spark, small_corpus):
                 )
             assert s["text"] == want_cache[ref], ref
     assert want_cache, "corpus contained no media spans"
+
+
+def test_extraction_session_conf_scales_and_clamps():
+    """Job-level scan tuning: >=4 splits per slot on small inputs, exact
+    stock Spark values at production scale (the helper must be a no-op
+    for a multi-TB table so it can never detune a real cluster)."""
+    from ocr_text_recognition_spark.extraction.pipeline import (
+        extraction_session_conf,
+    )
+
+    # small-corpus regime (the profiled stage-49 serialization case):
+    # 24 MiB input on 8 slots -> ~32 splits of ~768 KiB, floored at 1 MiB
+    small = extraction_session_conf(24 * 1024 * 1024, 8)
+    split = int(small["spark.sql.files.maxPartitionBytes"])
+    assert split == 1 << 20  # floor
+    assert int(small["spark.sql.files.openCostInBytes"]) <= split // 4
+    assert int(small["spark.sql.adaptive.advisoryPartitionSizeInBytes"]) == 1 << 20
+
+    # mid regime: 4 GiB on 8 slots -> 128 MiB splits (already at stock)
+    mid = extraction_session_conf(4 << 30, 8)
+    assert int(mid["spark.sql.files.maxPartitionBytes"]) == 128 << 20
+
+    # production regime: 100 TB on 4000 slots -> every knob at stock
+    prod = extraction_session_conf(100 * 10**12, 4000)
+    assert int(prod["spark.sql.files.maxPartitionBytes"]) == 128 << 20
+    assert int(prod["spark.sql.adaptive.advisoryPartitionSizeInBytes"]) == 64 << 20
+
+    # monotone sanity: more cores never means bigger splits
+    a = int(extraction_session_conf(1 << 30, 4)["spark.sql.files.maxPartitionBytes"])
+    b = int(extraction_session_conf(1 << 30, 16)["spark.sql.files.maxPartitionBytes"])
+    assert b <= a
