@@ -24,12 +24,22 @@ LOG=/tmp/gate_watch_r5.log
 START=$(date +%s)
 echo "gate_watch start $(date -u +%FT%TZ), deadline ${DEADLINE_MIN}min, threshold agg8>=${QUIET_AGG8} worker_min>=${QUIET_WORKER_MIN}" | tee -a "$LOG"
 
+BUSY_LOCK="${SPARK_GRAFT_BUSY_LOCK:-/tmp/spark_graft_busy}"
+
 while true; do
   NOW=$(date +%s)
   ELAPSED_MIN=$(( (NOW - START) / 60 ))
   if [ "$ELAPSED_MIN" -ge "$DEADLINE_MIN" ]; then
     echo "DEADLINE reached after ${ELAPSED_MIN}min without a quiet window; committed PASS artifact stands" | tee -a "$LOG"
     exit 2
+  fi
+  # Foreground session coordination: while the builder runs its own
+  # Spark/pytest work it touches this lockfile; probing (or launching
+  # the gate) during that work would read self-inflicted load.
+  if [ -e "$BUSY_LOCK" ]; then
+    echo "$(date -u +%FT%TZ) busy lock present, skipping probe" >> "$LOG"
+    sleep "$PROBE_SLEEP"
+    continue
   fi
   PROBE=$(SPARK_GRAFT_CEILING_LEVELS=8 SPARK_GRAFT_CEILING_REPEATS=3 \
           SPARK_GRAFT_CEILING_IMAGES=600 \
