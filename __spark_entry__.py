@@ -2126,6 +2126,20 @@ def q110_substring_cut_spans(spark, sf_dir):
     return substring_dup_spans(docs, "doc_id", "text", window=32, max_window_df=100)
 
 
+def q113_substring_dedup_apply(spark, sf_dir):
+    """Corpus REWRITE for exact substring dedup (operators/dedup.py
+    substring_dedup_apply) — the final removal step of Lee et al. 2022:
+    drop every token covered by a q110 cut interval and re-join the
+    survivors. Removes ALL occurrences of a duplicated run (the released
+    deduplicate-text-datasets semantics). One map-shaped corpus pass: the
+    cut arrays join in (affected docs only) and a JVM higher-order filter
+    rewrites each token array — no token-position explode."""
+    from ocr_text_recognition_spark.operators.dedup import substring_dedup_apply
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dedup_apply(docs, "doc_id", "text", window=32, max_window_df=100)
+
+
 def q111_audio_metadata(spark, sf_dir):
     """PCM WAV audio metadata + loudness (operators/multimodal.py
     audio_metadata — RIFF/WAVE is codec-free, so this is a real decode in
@@ -2282,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_substring_cut_spans": q110_substring_cut_spans,
         "q111_audio_metadata": q111_audio_metadata,
         "q112_video_metadata": q112_video_metadata,
+        "q113_substring_dedup_apply": q113_substring_dedup_apply,
     }
 
 

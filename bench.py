@@ -60,18 +60,20 @@ BENCH_QUERIES = [
     "q110_substring_cut_spans",
 ]
 
-# Why these 36 of the 112 registered queries: one representative per
+# Why these 36 of the 113 registered queries: one representative per
 # operator family (scan/agg/join/window/dedup/ANN/curation/graph/stats/
 # streaming-batch-twin), weighted toward the most shuffle- or
 # compute-expensive member of each family so regressions surface. The
-# other 76 are structural variants of a benched family member (same plan
+# other 77 are structural variants of a benched family member (same plan
 # shape, different predicate/column) — none is excluded for being slow:
 # q106 hard negatives shares q20's brute-force-cosine plan shape plus one
 # cheap label anti-filter; q108 is q109's batch_size=1 degenerate form
 # (strictly more driver round-trips for the same merges — q109 is the
 # scale path and the benched member); q111/q112 parse fixed 10/7-row
 # synthetic WAV/MP4 pools (fixture-bound, microseconds of real work —
-# a timing would measure session overhead, not the operator).
+# a timing would measure session overhead, not the operator); q113 is
+# q110's plan (the benched cut-location pipeline) plus one map-shaped
+# higher-order-filter rewrite stage — no new shuffle to regress.
 # q94 runs at its registered threshold (0.9) and is the bench's most
 # expensive line BY MEASURED NATURE, not by accident: the sf0.1
 # synthetic corpus truly contains 964,854 near-dup pairs at Jaccard

@@ -740,3 +740,62 @@ def substring_dup_spans(
         (F.max("win_start") + F.lit(window - 1)).cast("int").alias("cut_end"),
         F.count("*").cast("long").alias("n_windows"),
     ).drop("island")
+
+
+def substring_dedup_apply(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    max_window_df: int = 100,
+) -> DataFrame:
+    """APPLY the exact-substring cuts: the corpus-rewrite step that
+    completes the Lee et al. 2022 pipeline (identify =
+    ``substring_dup_pairs``, locate = ``substring_dup_spans``, remove =
+    here). Every token position covered by a duplicated window is
+    dropped and the survivors are re-joined with single spaces —
+    matching the released deduplicate-text-datasets tool's semantics of
+    removing EVERY occurrence of a duplicated run, not all-but-one
+    (its documented quirk; survivor selection would need a per-window
+    owner and is a policy layer above this operator).
+
+    Scale shape: the cut intervals come from ``substring_dup_spans``
+    (hash-keyed join only, never doc-to-doc), are collected to one
+    array row per AFFECTED doc (a per-doc groupBy — tiny relative to
+    the corpus), and the rewrite itself is a broadcast-friendly left
+    join + one JVM-side higher-order ``filter`` over each doc's token
+    array — token positions are never exploded, so the corpus pass is
+    a single map-shaped stage. Docs shorter than ``window`` tokens (no
+    windows) and docs with no duplicated windows pass through with
+    ``n_removed = 0``.
+
+    Returns (doc_id, clean_text, n_tokens, n_removed) — tokens counted
+    on the normalized (lowercased, whitespace-split) form the cuts are
+    defined over."""
+    cuts = (
+        substring_dup_spans(docs, id_col, text_col, window, max_window_df)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("cut_start", "cut_end")).alias("cuts")
+        )
+    )
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    joined = toks.join(cuts, "doc_id", "left").withColumn(
+        "cuts", F.coalesce(F.col("cuts"), F.array())
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("cuts"),
+            lambda c: (i + 1 >= c["cut_start"]) & (i + 1 <= c["cut_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("toks").cast("int").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("int").alias("n_removed"),
+    )

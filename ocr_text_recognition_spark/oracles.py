@@ -1931,3 +1931,53 @@ ORACLES["q112_video_metadata"] = _values_table(
      ("duration_s", "DOUBLE"), ("width", "INT"), ("height", "INT"),
      ("n_tracks", "INT"), ("n_bytes", "BIGINT"), ("valid", "BOOLEAN")],
 )
+
+# q113: apply the q110 cut intervals — drop every covered token (the
+# released deduplicate-text-datasets semantics: ALL occurrences of a
+# duplicated run are removed), re-join survivors with single spaces.
+# Every document comes back, including those with < 32 tokens (no
+# windows) and fully-cut documents (clean_text = '').
+ORACLES["q113_substring_dedup_apply"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+           t -> t <> '') AS toks
+  FROM documents),
+t2 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 32),
+p AS (SELECT doc_id, CAST(i AS INT) AS win_start,
+             md5(array_to_string(toks[i : i + 31], ' ')) AS wh
+      FROM t2, unnest(generate_series(1, n - 31)) AS g(i)),
+w AS (SELECT DISTINCT doc_id, wh FROM p),
+keepw AS (SELECT wh FROM (SELECT wh, COUNT(*) AS c FROM w GROUP BY wh)
+          WHERE c BETWEEN 2 AND 100),
+d AS (SELECT p.doc_id, p.win_start FROM p JOIN keepw USING (wh)),
+fl AS (SELECT doc_id, win_start,
+              CASE WHEN win_start
+                        - LAG(win_start) OVER (PARTITION BY doc_id
+                                               ORDER BY win_start) <= 32
+                   THEN 0 ELSE 1 END AS newi
+       FROM d),
+isl AS (SELECT doc_id, win_start,
+               SUM(newi) OVER (PARTITION BY doc_id ORDER BY win_start
+                               ROWS UNBOUNDED PRECEDING) AS island
+        FROM fl),
+cuts AS (SELECT doc_id, MIN(win_start) AS cut_start,
+                MAX(win_start) + 31 AS cut_end
+         FROM isl GROUP BY doc_id, island),
+pos AS (SELECT doc_id, CAST(i AS INT) AS idx, toks[i] AS t
+        FROM tok, unnest(generate_series(1, len(toks))) AS g(i)),
+kept AS (SELECT pos.doc_id, pos.idx, pos.t
+         FROM pos
+         WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                           WHERE c.doc_id = pos.doc_id
+                             AND pos.idx BETWEEN c.cut_start AND c.cut_end)),
+agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT tok.doc_id,
+       COALESCE(agg.clean_text, '') AS clean_text,
+       CAST(len(tok.toks) AS INT) AS n_tokens,
+       CAST(len(tok.toks) - COALESCE(agg.n_kept, 0) AS INT) AS n_removed
+FROM tok LEFT JOIN agg USING (doc_id)
+"""

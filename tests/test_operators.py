@@ -1518,6 +1518,38 @@ def test_substring_dup_spans_cut_intervals(spark):
     assert not any(d == 3 for d, _, _ in out)
 
 
+def test_substring_dedup_apply_rewrites_corpus(spark):
+    """Removal step: every token covered by a duplicated window is
+    dropped from EVERY document carrying it (the released
+    deduplicate-text-datasets semantics), survivors re-join with single
+    spaces on the normalized form, short/untouched docs pass through
+    with n_removed = 0, and n_tokens counts the normalized tokens."""
+    from ocr_text_recognition_spark.operators.dedup import substring_dedup_apply
+
+    lifted = "alpha beta gamma delta epsilon"  # shared 5-token run
+    docs = spark.createDataFrame(
+        [
+            (1, f"pre {lifted} tail"),       # cut [2,6] -> "pre tail"
+            (2, f"{lifted} other Words"),    # cut [1,5] -> "other words"
+            (3, "short doc"),                # < window tokens: untouched
+            (4, lifted),                     # fully cut -> ""
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in substring_dedup_apply(
+            docs, "doc_id", "text", window=4, max_window_df=100
+        ).collect()
+    }
+    assert out == {
+        1: ("pre tail", 7, 5),
+        2: ("other words", 7, 5),
+        3: ("short doc", 2, 0),
+        4: ("", 5, 5),
+    }
+
+
 def test_bpe_train_matches_python_twin(spark):
     """BPE merge training vs an independent plain-Python implementation
     of Sennrich et al. 2016 (frequency-weighted distinct words, greedy
